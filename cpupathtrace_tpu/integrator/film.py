@@ -1,0 +1,255 @@
+"""Film: sample accumulation, adaptive sampling, and the render driver.
+
+TPU recast of the reference's per-pixel adaptive loop
+(ref: src/worker.cpp:149-322 processItem): instead of each pixel sequentially
+drawing samples until its own stopping rule fires, the driver launches
+*chunks* of `stats_sample_count` samples for a whole pixel tile at once and
+applies the stopping rule per pixel between chunks. A chunk mean is exactly
+one of the reference's Welford "stats samples" (ref: worker.cpp:200-232);
+accepted pixels freeze (stop accumulating), reproducing the early-`break`.
+
+Deliberate deviation (documented): the reference counts only *collected*
+(anything-hit) samples toward its statistics batches (ref: worker.cpp:197).
+Chunked SPMD execution counts per-chunk collected means instead; identical in
+closed scenes, and statistically equivalent elsewhere.
+
+The biased candidate-selection fallback (ref: worker.cpp:273-317) only runs
+when `RenderOptions.allow_bias=True` — the reference declares that flag but
+never reads it (its biased path always runs); here the flag is honest.
+
+Tiling: the image is processed in equally-sized pixel tiles to bound rays per
+device launch — the analog of the reference's work-queue of 32x32 tiles
+(ref: worker.cpp:398-414), except tiles are data-parallel lanes rather than
+work items for a thread pool (the device mesh shards them; see
+cpupathtrace_tpu/parallel).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera.camera import Camera, shoot_rays
+from ..core.config import RenderOptions
+from ..scene.scene import SceneData
+from .wavefront import trace
+
+
+def pixel_camera_coords(options: RenderOptions, px, py):
+    """Pixel index -> [-1,1] sensor coordinates, y flipped
+    (ref: worker.cpp:166-171)."""
+    x_cam = 2.0 * ((px + 0.5) / options.image_width - 0.5)
+    y_cam = -2.0 * ((py + 0.5) / options.image_height - 0.5)
+    return x_cam, y_cam
+
+
+def adaptive_constants(options: RenderOptions):
+    """The reference's adaptive-sampling batch constants, integer-division
+    semantics preserved (ref: worker.cpp:158-163)."""
+    min_sc = options.min_sample_count
+    max_sc = options.max_sample_count
+    stats = min(max(min_sc // 4, 1), 64)
+    candidate_batch = max(max(min_sc, max_sc // 4) // stats, 2)
+    check = (
+        min(max(min_sc // 2, (max_sc - min_sc) // 8, 8, stats), 1024) // stats
+    )
+    return stats, candidate_batch, check
+
+
+@partial(jax.jit, static_argnames=("options", "spp", "differentiable"))
+def render_chunk(
+    scene: SceneData,
+    camera: Camera,
+    options: RenderOptions,
+    x_cam: jnp.ndarray,  # [P] sensor coords of the tile's pixels
+    y_cam: jnp.ndarray,  # [P]
+    key,
+    spp: int,
+    differentiable: bool = False,
+):
+    """Trace `spp` samples for P pixels; returns (sum [P,4], collected [P])."""
+    p = x_cam.shape[0]
+    xs = jnp.tile(x_cam, spp)
+    ys = jnp.tile(y_cam, spp)
+    k_cam, k_trace = jax.random.split(key)
+    rays = shoot_rays(
+        camera, xs, ys, 1.0 / options.image_width, 1.0 / options.image_height, k_cam
+    )
+    spectrum, collected = trace(scene, rays, options, k_trace, differentiable)
+    spectrum = spectrum.reshape(spp, p, 4)
+    collected = collected.reshape(spp, p)
+    return (
+        jnp.sum(jnp.where(collected[..., None], spectrum, 0.0), axis=0),
+        jnp.sum(collected.astype(jnp.int32), axis=0),
+    )
+
+
+def _candidate_select(stats_means, stats_valid, cbc, fallback, min_count):
+    """Biased candidate selection (ref: worker.cpp:273-317), vectorized.
+
+    stats_means: [P, NS, 4] per-stats-batch means; stats_valid: [P, NS].
+    Candidates are consecutive groups of `cbc` stats batches. Returns [P,4].
+    """
+    p, ns, _ = stats_means.shape
+    n_cand = math.ceil(ns / cbc)
+    pad = n_cand * cbc - ns
+    if pad:
+        stats_means = jnp.pad(stats_means, ((0, 0), (0, pad), (0, 0)))
+        stats_valid = jnp.pad(stats_valid, ((0, 0), (0, pad)))
+    g_means = stats_means.reshape(p, n_cand, cbc, 4)
+    g_valid = stats_valid.reshape(p, n_cand, cbc)
+
+    count = jnp.sum(g_valid, axis=-1)  # [P, C]
+    safe = jnp.maximum(count, 1)
+    mean = jnp.sum(jnp.where(g_valid[..., None], g_means, 0.0), axis=2) / safe[..., None]
+    dev = jnp.where(g_valid[..., None], g_means - mean[:, :, None, :], 0.0)
+    m2 = jnp.sum(dev * dev, axis=2)  # [P, C, 4]
+    # m2_weighted = m2 / count; stddev over the RGB channels
+    # (ref: worker.cpp:287-290).
+    m2w = m2 / safe[..., None]
+    stddev = jnp.sqrt(m2w[..., 0] + m2w[..., 1] + m2w[..., 2])
+
+    valid = count >= min_count
+    stddev = jnp.where(valid, stddev, jnp.inf)
+
+    order = jnp.argsort(stddev, axis=1)
+    s_sorted = jnp.take_along_axis(stddev, order, axis=1)
+    c_sorted = jnp.take_along_axis(mean, order[..., None], axis=1)
+
+    any_valid = jnp.isfinite(s_sorted[:, 0])
+    pixel = c_sorted[:, 0]
+    cur_s = s_sorted[:, 0]
+    still = any_valid
+    # Near-tie progressive averaging (ref: worker.cpp:296-316).
+    for i in range(1, n_cand):
+        ok = still & (s_sorted[:, i] < jnp.maximum(cur_s + 0.005, cur_s * 1.01))
+        pixel = jnp.where(
+            ok[:, None], pixel + (c_sorted[:, i] - pixel) / (i + 1.0), pixel
+        )
+        cur_s = jnp.where(ok, s_sorted[:, i], cur_s)
+        still = ok
+    return jnp.where(any_valid[:, None], pixel, fallback)
+
+
+def render_tile(
+    scene: SceneData,
+    camera: Camera,
+    options: RenderOptions,
+    x_cam: np.ndarray,
+    y_cam: np.ndarray,
+    key,
+) -> jnp.ndarray:
+    """Adaptive render of one pixel tile; returns [P,4] pixel values."""
+    p = x_cam.shape[0]
+    stats, cbc, check = adaptive_constants(options)
+    min_sc = max(options.min_sample_count, 2)
+    max_sc = options.max_sample_count
+    n_full = max_sc // stats
+    remainder = max_sc - n_full * stats
+
+    pixel_sum = jnp.zeros((p, 4))
+    n_collected = jnp.zeros(p, jnp.int32)
+    frozen = jnp.zeros(p, bool)
+    accepted = jnp.zeros(p, bool)
+    remaining = jnp.full(p, check, jnp.int32)
+    stats_means = jnp.zeros((p, max(n_full, 1), 4))
+    stats_valid = jnp.zeros((p, max(n_full, 1)), bool)
+
+    keys = jax.random.split(key, n_full + 1)
+    for c in range(n_full):
+        s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[c], stats)
+        live = ~frozen
+        pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
+        n_collected = jnp.where(live, n_collected + coll, n_collected)
+        chunk_mean = s / jnp.maximum(coll, 1)[:, None]
+        chunk_ok = live & (coll > 0)
+        stats_means = stats_means.at[:, c].set(jnp.where(chunk_ok[:, None], chunk_mean, 0.0))
+        stats_valid = stats_valid.at[:, c].set(chunk_ok)
+
+        # Convergence check (ref: worker.cpp:239-259): after each completed
+        # stats batch once >= max(min_sample_count, 2) samples collected.
+        ns = jnp.sum(stats_valid, axis=1)
+        safe_ns = jnp.maximum(ns, 1)
+        mean = jnp.sum(
+            jnp.where(stats_valid[..., None], stats_means, 0.0), axis=1
+        ) / safe_ns[:, None]
+        dev = jnp.where(stats_valid[..., None], stats_means - mean[:, None, :], 0.0)
+        m2 = jnp.sum(dev * dev, axis=1)
+        m2w = m2 / jnp.maximum(ns - 1, 1)[:, None]
+        stddev = jnp.sqrt(m2w[..., 0] + m2w[..., 1] + m2w[..., 2])
+        mean_contrib = (mean[..., 0] + mean[..., 1] + mean[..., 2]) / 3.0
+
+        checkable = live & (n_collected >= min_sc) & (ns >= 2)
+        passed = checkable & (
+            (stddev < 1e-4) | (stddev / (3.0 * 3.0 * mean_contrib + 1e-5) < 0.2)
+        )
+        remaining = jnp.where(passed, remaining - 1, jnp.where(checkable, check, remaining))
+        newly_accepted = passed & (remaining <= 0)
+        accepted = accepted | newly_accepted
+        frozen = frozen | newly_accepted
+
+        if bool(jnp.all(frozen | accepted)) and c >= (min_sc // stats - 1):
+            break
+
+    if remainder > 0:
+        s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[n_full], remainder)
+        live = ~frozen
+        pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
+        n_collected = jnp.where(live, n_collected + coll, n_collected)
+
+    pixel_value = pixel_sum / jnp.maximum(n_collected, 1)[:, None]
+
+    if options.allow_bias:
+        min_count = max((cbc * 3) // 4, 2)
+        biased = _candidate_select(stats_means, stats_valid, cbc, pixel_value, min_count)
+        pixel_value = jnp.where(accepted[:, None], pixel_value, biased)
+
+    # Pixels that never collected anything stay exactly zero
+    # (ref: worker.cpp:261-263 + alpha contract).
+    pixel_value = jnp.where((n_collected > 0)[:, None], pixel_value, 0.0)
+    return pixel_value
+
+
+def render(
+    scene: SceneData,
+    camera: Camera,
+    options: RenderOptions,
+    seed: int = 0,
+    progress_callback=None,
+    rays_per_launch: int = 1 << 20,
+) -> np.ndarray:
+    """Full-frame render — the processJob analog (ref: worker.cpp:389-427).
+
+    Returns an [H, W, 4] float32 image (RGB radiance + any-hit alpha).
+    """
+    w, h = options.image_width, options.image_height
+    if w <= 0 or h <= 0:
+        return np.zeros((max(h, 0), max(w, 0), 4), np.float32)
+
+    stats, _, _ = adaptive_constants(options)
+    rows_per_tile = max(1, min(h, rays_per_launch // max(w * stats, 1)))
+    n_tiles = math.ceil(h / rows_per_tile)
+
+    px = np.arange(w, dtype=np.float32)
+    image = np.zeros((n_tiles * rows_per_tile, w, 4), np.float32)
+    key = jax.random.PRNGKey(seed)
+    tile_keys = jax.random.split(key, n_tiles)
+
+    for i in range(n_tiles):
+        y0 = i * rows_per_tile
+        py = np.arange(y0, y0 + rows_per_tile, dtype=np.float32) % h
+        xg, yg = np.meshgrid(px, py)
+        x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
+        tile = render_tile(
+            scene, camera, options,
+            jnp.asarray(x_cam, jnp.float32), jnp.asarray(y_cam, jnp.float32),
+            tile_keys[i],
+        )
+        image[y0 : y0 + rows_per_tile] = np.asarray(tile).reshape(rows_per_tile, w, 4)
+        if progress_callback is not None:
+            progress_callback(i + 1, n_tiles)
+
+    return image[:h]

@@ -1,0 +1,213 @@
+"""Batched ray-primitive intersection ops (pure jnp, VPU-friendly).
+
+Primitive math reproduces the reference exactly:
+  * triangle: Moller-Trumbore with eps=1e-6 and optional backface culling
+    (ref: src/scene/object.cpp:146-182 Triangle::getIntersection)
+  * sphere: near-root quadratic; rays starting inside report the (negative)
+    entry distance and therefore miss, matching the reference
+    (ref: src/scene/object.cpp:72-84 Sphere::getIntersection)
+  * AABB: slab test with FLT_MAX inverse for zero direction components,
+    clamped to 0 when the origin is inside, -1 on miss
+    (ref: src/scene/bounding_box.cpp:38-73 AABB::getIntersection)
+
+Two scene intersectors are provided:
+  * `dense_intersect` — all rays x all primitives. For small scenes this is a
+    dense regular compute pattern that maps far better onto the TPU VPU than
+    divergent tree traversal (the TPU-native answer for the Cornell box).
+  * `bvh_intersect` — SIMT-style stack traversal of the flat BVH with
+    nearest-hit pruning; the scalable path for large meshes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math import cross, dot
+from ..scene.scene import SceneData
+
+_TRI_EPS = 1e-6
+_FLT_MAX = 3.4028234663852886e38
+
+
+def intersect_triangles(o, d, v0, v1, v2, cull):
+    """Moller-Trumbore. Broadcasts rays [...,3] against triangles [...,3].
+
+    Returns t (may be negative when the hit is behind the origin, exactly like
+    the reference); -1 encodes a miss.
+    """
+    ab = v1 - v0
+    ac = v2 - v0
+    pvec = cross(d, ac)
+    det = dot(ab, pvec)
+
+    miss_det = jnp.where(cull, det <= _TRI_EPS, jnp.abs(det) <= _TRI_EPS)
+
+    inv_det = 1.0 / jnp.where(miss_det, 1.0, det)
+    tvec = o - v0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, ab)
+    v = dot(d, qvec) * inv_det
+    t = dot(ac, qvec) * inv_det
+
+    miss = miss_det | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
+    return jnp.where(miss, -1.0, t)
+
+
+def intersect_spheres(o, d, center, radius):
+    """Near-root sphere intersection (ref: object.cpp:72-84)."""
+    co = o - center
+    dd = dot(d, co)
+    disc = dd * dd - dot(co, co) + radius * radius
+    t = -(dd + jnp.sqrt(jnp.maximum(disc, 0.0)))
+    return jnp.where(disc >= 0, t, -1.0)
+
+
+def intersect_aabb(o, d, lo, hi):
+    """Slab test (ref: bounding_box.cpp:38-73). Returns entry distance,
+    clamped to 0 if the origin is inside; -1 on miss."""
+    inv = jnp.where(jnp.abs(d) > 0.0, 1.0 / jnp.where(d == 0, 1.0, d), _FLT_MAX)
+    t_lo = (lo - o) * inv
+    t_hi = (hi - o) * inv
+    t_min = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    t_max = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    t = jnp.where(t_min < 0.0, 0.0, t_min)
+    return jnp.where((t_max < 0.0) | (t_min > t_max), -1.0, t)
+
+
+def _gather_triangle(scene: SceneData, idx):
+    idx = jnp.clip(idx, 0, scene.tri_v0.shape[0] - 1)
+    return (
+        scene.tri_v0[idx],
+        scene.tri_v1[idx],
+        scene.tri_v2[idx],
+        scene.tri_cull[idx],
+    )
+
+
+def intersect_prim(scene: SceneData, prim, o, d):
+    """Intersect rays against the global primitive index `prim` (triangles
+    first, then spheres). Shapes broadcast; prim is [...]."""
+    is_tri = prim < scene.n_tri
+    v0, v1, v2, cull = _gather_triangle(scene, jnp.where(is_tri, prim, 0))
+    t_tri = intersect_triangles(o, d, v0, v1, v2, cull)
+
+    sidx = jnp.clip(prim - scene.n_tri, 0, scene.sph_center.shape[0] - 1)
+    t_sph = intersect_spheres(o, d, scene.sph_center[sidx], scene.sph_radius[sidx])
+    return jnp.where(is_tri, t_tri, t_sph)
+
+
+def dense_intersect(scene: SceneData, o, d):
+    """Nearest-hit over all primitives, brute force.
+
+    o, d: [R,3]. Returns (t [R], prim [R]) with t=-1 / prim=-1 on miss.
+    """
+    # [R, T]
+    t_tri = intersect_triangles(
+        o[:, None, :], d[:, None, :],
+        scene.tri_v0[None], scene.tri_v1[None], scene.tri_v2[None],
+        scene.tri_cull[None],
+    )
+    t_tri = jnp.where(scene.tri_valid[None], t_tri, -1.0)
+    # [R, S]
+    t_sph = intersect_spheres(
+        o[:, None, :], d[:, None, :],
+        scene.sph_center[None], scene.sph_radius[None],
+    )
+    t_sph = jnp.where(scene.sph_valid[None], t_sph, -1.0)
+
+    t_all = jnp.concatenate([t_tri, t_sph], axis=1)  # [R, P]
+    t_pos = jnp.where(t_all >= 0.0, t_all, jnp.inf)
+    best = jnp.argmin(t_pos, axis=1)
+    best_t = jnp.take_along_axis(t_pos, best[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(best_t)
+    return (
+        jnp.where(hit, best_t, -1.0),
+        jnp.where(hit, best.astype(jnp.int32), -1),
+    )
+
+
+def bvh_intersect(scene: SceneData, o, d):
+    """SIMT wavefront BVH traversal: every ray walks the flat tree with its
+    own short stack; nearest hit with t_max pruning (behaviorally equivalent
+    to the reference's ordered near/far recursion, ref: scene.cpp:104-150).
+
+    o, d: [R,3]. Returns (t [R], prim [R]).
+    """
+    n_rays = o.shape[0]
+    stack_depth = scene.bvh_depth + 2
+
+    stack = jnp.zeros((n_rays, stack_depth), jnp.int32)
+    sp = jnp.zeros(n_rays, jnp.int32)
+    node = jnp.zeros(n_rays, jnp.int32)  # start at root
+    best_t = jnp.full(n_rays, jnp.inf)
+    best_prim = jnp.full(n_rays, -1, jnp.int32)
+    active = jnp.ones(n_rays, bool)
+
+    # Root test: rays missing the root box are immediately done
+    # (ref: scene.cpp:210-220 Scene::getIntersection root slab test).
+    t_root = intersect_aabb(o, d, scene.bvh_lo[0], scene.bvh_hi[0])
+    active = active & (t_root >= 0.0)
+
+    def cond(state):
+        return jnp.any(state[5])
+
+    def body(state):
+        stack, sp, node, best_t, best_prim, active = state
+
+        prim = scene.bvh_prim[node]
+        is_leaf = prim >= 0
+
+        # --- Leaf: intersect the one primitive, keep nearest non-negative t.
+        t_leaf = intersect_prim(scene, jnp.maximum(prim, 0), o, d)
+        better = active & is_leaf & (t_leaf >= 0.0) & (t_leaf < best_t)
+        best_t = jnp.where(better, t_leaf, best_t)
+        best_prim = jnp.where(better, prim, best_prim)
+
+        # --- Internal: slab-test both children, descend near, push far.
+        li = scene.bvh_left[node]
+        ri = scene.bvh_right[node]
+        t_l = intersect_aabb(o, d, scene.bvh_lo[li], scene.bvh_hi[li])
+        t_r = intersect_aabb(o, d, scene.bvh_lo[ri], scene.bvh_hi[ri])
+        hit_l = (t_l >= 0.0) & (t_l < best_t)
+        hit_r = (t_r >= 0.0) & (t_r < best_t)
+
+        l_near = jnp.where(hit_l & hit_r, t_l <= t_r, hit_l)
+        near = jnp.where(l_near, li, ri)
+        far = jnp.where(l_near, ri, li)
+        n_hits = hit_l.astype(jnp.int32) + hit_r.astype(jnp.int32)
+
+        push = active & (~is_leaf) & (n_hits == 2)
+        stack = jnp.where(
+            push[:, None]
+            & (jnp.arange(stack_depth)[None, :] == sp[:, None]),
+            far[:, None],
+            stack,
+        )
+        sp = jnp.where(push, sp + 1, sp)
+
+        descend = active & (~is_leaf) & (n_hits > 0)
+        # Pop when at a leaf or when no child was hit.
+        want_pop = active & ~descend
+        can_pop = sp > 0
+        sp_new = jnp.where(want_pop & can_pop, sp - 1, sp)
+        popped = jnp.take_along_axis(stack, jnp.maximum(sp_new, 0)[:, None], axis=1)[:, 0]
+
+        node = jnp.where(descend, near, jnp.where(want_pop & can_pop, popped, node))
+        active = active & (descend | (want_pop & can_pop))
+        sp = sp_new
+
+        return stack, sp, node, best_t, best_prim, active
+
+    state = (stack, sp, node, best_t, best_prim, active)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, best_t, best_prim, _ = state
+
+    hit = best_prim >= 0
+    return jnp.where(hit, best_t, -1.0), best_prim
+
+
+def scene_intersect(scene: SceneData, o, d):
+    """Dispatch between the dense and BVH intersectors (static choice)."""
+    if scene.use_bvh:
+        return bvh_intersect(scene, o, d)
+    return dense_intersect(scene, o, d)

@@ -1,0 +1,131 @@
+"""Host-side procedural geometry builders (NumPy, run once at scene build).
+
+Behavioral parity with the reference's mesh helpers:
+  * make_plane  (ref: src/scene/mesh.cpp:294-336 makePlane)
+  * make_box    (ref: src/scene/mesh.cpp:338-375 makeBox)
+
+Triangles are plain host-side records here; `SceneBuilder` packs them into SoA
+device arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_PLANE_EPS = 1e-4
+
+
+@dataclasses.dataclass
+class HostTriangle:
+    """One triangle being assembled on the host before SoA packing."""
+
+    a: np.ndarray
+    b: np.ndarray
+    c: np.ndarray
+    cull_backface: bool = False
+    # Per-vertex shading normals; default face normal (ref: object.cpp:118-124).
+    na: np.ndarray | None = None
+    nb: np.ndarray | None = None
+    nc: np.ndarray | None = None
+    material: int = -1
+
+    def __post_init__(self):
+        self.a = np.asarray(self.a, dtype=np.float64)
+        self.b = np.asarray(self.b, dtype=np.float64)
+        self.c = np.asarray(self.c, dtype=np.float64)
+        if self.na is None:
+            n = np.cross(self.b - self.a, self.c - self.a)
+            norm = np.linalg.norm(n)
+            n = n / norm if norm > 0 else n
+            self.na = n.copy()
+            self.nb = n.copy()
+            self.nc = n.copy()
+
+    def face_normal(self) -> np.ndarray:
+        return np.cross(self.b - self.a, self.c - self.a)
+
+    def surface_area(self) -> float:
+        return float(np.linalg.norm(self.face_normal()) / 2.0)
+
+
+def make_plane(a, b, cull_backface: bool = False) -> list[HostTriangle]:
+    """Axis-aligned rectangle from two diagonal corners, as two triangles.
+
+    Reproduces the reference's validity rules: exactly one shared coordinate
+    (the *last* matching axis wins) and the other two must differ
+    (ref: src/scene/mesh.cpp:294-336).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+
+    plane_dim = -1
+    for i in range(3):
+        if abs(a[i] - b[i]) < _PLANE_EPS:
+            plane_dim = i
+    others_separate = True
+    for i in range(3):
+        if i == plane_dim:
+            continue
+        if abs(a[i] - b[i]) < _PLANE_EPS:
+            others_separate = False
+    if plane_dim < 0 or not others_separate:
+        return []
+
+    dim1 = 1 if plane_dim == 0 else 0
+
+    v2 = a.copy()
+    v4 = b.copy()
+    v2[dim1] = b[dim1]
+    v4[dim1] = a[dim1]
+
+    return [
+        HostTriangle(a, v2, b, cull_backface),
+        HostTriangle(b, v4, a, cull_backface),
+    ]
+
+
+def make_box(a, b, cull_backface: bool = False) -> list[HostTriangle]:
+    """Axis-aligned box from two opposite corners, 12 triangles
+    (ref: src/scene/mesh.cpp:338-375)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+
+    for i in range(3):
+        if abs(a[i] - b[i]) < _PLANE_EPS:
+            return []
+
+    triangles: list[HostTriangle] = []
+    for i in range(3):
+        plane_a = a.copy()
+        plane_b = a.copy()
+        for dim in range(3):
+            if dim == i:
+                continue
+            plane_a[dim] = a[dim]
+            plane_b[dim] = b[dim]
+
+        triangles.extend(make_plane(plane_a, plane_b, cull_backface))
+
+        plane_a[i] = b[i]
+        plane_b[i] = b[i]
+        triangles.extend(make_plane(plane_a, plane_b, cull_backface))
+
+    return triangles
+
+
+def transform_triangles(triangles: list[HostTriangle], mat4: np.ndarray) -> list[HostTriangle]:
+    """Apply a row-major 4x4 affine transform (with perspective divide, ref:
+    util/matrix.h:50-55) to triangle vertices. Shading normals are reset to
+    the new face normals, matching the demo's manual re-construction of
+    transformed triangles (ref: demo/main.cpp:190-194)."""
+    mat4 = np.asarray(mat4, dtype=np.float64)
+
+    def tp(p):
+        h = mat4 @ np.array([p[0], p[1], p[2], 1.0])
+        return h[:3] / h[3]
+
+    return [
+        HostTriangle(tp(t.a), tp(t.b), tp(t.c), t.cull_backface, material=t.material)
+        for t in triangles
+    ]

@@ -1,0 +1,185 @@
+"""Wavefront OBJ mesh loading (host-side).
+
+Behavioral parity with the reference's hand-rolled parser
+(ref: src/scene/mesh.cpp:11-271 impl::ObjParser):
+  * only `v` and `f` records are honored; everything else is skipped
+  * face vertex references keep only the position index (`a/b/c` -> `a`,
+    ref: mesh.cpp:133-146)
+  * unparseable floats become NaN and unparseable ints -1, which then reject
+    the affected face (ref: mesh.cpp:96-121)
+  * face validation: index bounds, pairwise-distinct vertices,
+    non-collinearity via squared face-normal length (ref: mesh.cpp:149-174)
+  * the load-time 4x4 transform applies to vertices as they are read
+    (ref: mesh.cpp:127)
+  * optional smoothing: per-vertex average of *normalized* face normals,
+    written back to each incident triangle's vertex normal
+    (ref: mesh.cpp:228-267)
+
+A vectorized NumPy fast path handles large well-formed meshes; a tolerant
+per-line fallback reproduces the reference's forgiving behavior for malformed
+input. (A C++ parser for very large assets lives in cpupathtrace_tpu/native.)
+"""
+from __future__ import annotations
+
+import io as _io
+
+import numpy as np
+
+from .geometry import HostTriangle
+
+_IDENTITY = np.eye(4, dtype=np.float64)
+
+
+def _parse_float(tok: str) -> float:
+    # Mirror the reference's tolerant char filter + stof (ref: mesh.cpp:96-121):
+    # keep leading [0-9.eE+-] chars, NaN when nothing parses.
+    buf = []
+    for ch in tok:
+        if ch.isdigit() or ch in ".-+eE":
+            buf.append(ch)
+        else:
+            break
+    try:
+        return float("".join(buf))
+    except ValueError:
+        return float("nan")
+
+
+def _parse_int(tok: str) -> int:
+    tok = tok.split("/", 1)[0]
+    buf = []
+    for ch in tok:
+        if ch.isdigit() or ch in "-+eE":
+            buf.append(ch)
+        else:
+            break
+    try:
+        return int("".join(buf))
+    except ValueError:
+        return -1
+
+
+def _parse_tolerant(lines):
+    vertices: list[tuple[float, float, float]] = []
+    faces: list[tuple[int, int, int]] = []
+    for line in lines:
+        stripped = line.lstrip(" ")
+        if stripped.startswith("v "):
+            toks = stripped[2:].split()
+            vals = [_parse_float(t) for t in toks[:3]]
+            while len(vals) < 3:
+                vals.append(float("nan"))
+            vertices.append((vals[0], vals[1], vals[2]))
+        elif stripped.startswith("f "):
+            toks = stripped[2:].split()
+            idx = [_parse_int(t) - 1 for t in toks[:3]]
+            while len(idx) < 3:
+                idx.append(-1)
+            faces.append((idx[0], idx[1], idx[2]))
+    return (
+        np.asarray(vertices, np.float64).reshape(-1, 3),
+        np.asarray(faces, np.int64).reshape(-1, 3),
+    )
+
+
+def _parse_fast(lines):
+    """Vectorized parse for well-formed files; returns None if anything looks
+    irregular (caller falls back to the tolerant path)."""
+    v_lines = [l for l in lines if l.startswith("v ")]
+    f_lines = [l for l in lines if l.startswith("f ")]
+    try:
+        v = np.fromstring(" ".join(l[2:] for l in v_lines), sep=" ")  # noqa: NPY201
+        if v.size != 3 * len(v_lines):
+            return None
+        f_tok = " ".join(
+            t.split("/", 1)[0] for l in f_lines for t in l[2:].split()
+        )
+        f = np.fromstring(f_tok, sep=" ")  # noqa: NPY201
+        if f.size != 3 * len(f_lines):
+            return None
+        return v.reshape(-1, 3), (f.reshape(-1, 3).astype(np.int64) - 1)
+    except Exception:
+        return None
+
+
+def load_mesh(
+    source,
+    transformation: np.ndarray | None = None,
+    cull_backface: bool = True,
+    smooth: bool = True,
+) -> list[HostTriangle]:
+    """Load triangles from a path, file object, or OBJ text
+    (ref API: io::loadMesh, include/PathTrace/scene/mesh.h:23-51)."""
+    if hasattr(source, "read"):
+        text = source.read()
+    else:
+        source = str(source)
+        if "\n" in source or source.lstrip().startswith(("v ", "f ", "#")):
+            text = source
+        else:
+            with open(source, "r", errors="replace") as fh:
+                text = fh.read()
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    # The reference eats leading spaces before the record tag (mesh.cpp:186).
+    lines = [l.lstrip(" ") for l in text.splitlines()]
+
+    parsed = _parse_fast(lines)
+    if parsed is None:
+        parsed = _parse_tolerant(lines)
+    verts, face_idx = parsed
+
+    mat = _IDENTITY if transformation is None else np.asarray(transformation, np.float64)
+    if verts.shape[0]:
+        h = np.concatenate([verts, np.ones((verts.shape[0], 1))], axis=1) @ mat.T
+        verts = h[:, :3] / h[:, 3:4]
+
+    n_v = verts.shape[0]
+    if face_idx.shape[0] == 0:
+        return []
+
+    # Face validation (ref: mesh.cpp:149-174).
+    in_range = np.all((face_idx >= 0) & (face_idx < n_v), axis=1)
+    face_idx_c = np.clip(face_idx, 0, max(n_v - 1, 0))
+    a = verts[face_idx_c[:, 0]]
+    b = verts[face_idx_c[:, 1]]
+    c = verts[face_idx_c[:, 2]]
+    ab2 = np.sum((b - a) ** 2, axis=1)
+    ac2 = np.sum((c - a) ** 2, axis=1)
+    bc2 = np.sum((c - b) ** 2, axis=1)
+    distinct = (ab2 > 0) & (ac2 > 0) & (bc2 > 0)  # NaN-rejecting comparisons
+    fn = np.cross(b - a, c - a)
+    non_collinear = np.sum(fn * fn, axis=1) > 0
+    keep = in_range & distinct & non_collinear
+
+    face_idx = face_idx_c[keep]
+    a, b, c, fn = a[keep], b[keep], c[keep], fn[keep]
+
+    # Face normals, normalized.
+    fn_len = np.linalg.norm(fn, axis=1, keepdims=True)
+    fn_unit = fn / np.maximum(fn_len, 1e-300)
+
+    if smooth and face_idx.shape[0]:
+        # Per-vertex average of normalized incident face normals
+        # (ref: mesh.cpp:228-267).
+        v_norm = np.zeros((n_v, 3))
+        for k in range(3):
+            np.add.at(v_norm, face_idx[:, k], fn_unit)
+        v_len2 = np.sum(v_norm * v_norm, axis=1)
+        ok = v_len2 > 0
+        v_unit = np.where(
+            ok[:, None], v_norm / np.sqrt(np.maximum(v_len2, 1e-300))[:, None], 0.0
+        )
+        na = np.where(ok[face_idx[:, 0], None], v_unit[face_idx[:, 0]], fn_unit)
+        nb = np.where(ok[face_idx[:, 1], None], v_unit[face_idx[:, 1]], fn_unit)
+        nc = np.where(ok[face_idx[:, 2], None], v_unit[face_idx[:, 2]], fn_unit)
+    else:
+        na = nb = nc = fn_unit
+
+    return [
+        HostTriangle(
+            a[i], b[i], c[i], cull_backface,
+            na=na[i].copy(), nb=nb[i].copy(), nc=nc[i].copy(),
+        )
+        for i in range(face_idx.shape[0])
+    ]

@@ -1,0 +1,295 @@
+"""Scene container: SoA device arrays + host-side builder.
+
+TPU-native inversion of the reference's pointer-based scene
+(ref: include/PathTrace/scene/scene.h, src/scene/scene.cpp): virtual `Object`s
+become flat primitive arrays, `MaterialHandler` indirection becomes an integer
+material id per primitive, and the emissive-object registry + CDF
+(ref: src/scene/scene.cpp:165-208) becomes a prefix-sum array sampled with
+`searchsorted`.
+
+Primitive index space: 0..n_tri-1 are triangles, n_tri..n_tri+n_sph-1 spheres.
+Arrays are padded so no shape is ever zero-length (XLA-friendly); padding
+lanes are masked off via `tri_valid`/`sph_valid`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .geometry import HostTriangle
+from ..utils.math import PI
+
+# BSDF type codes (ref classes: LambertianBRDF / GlassBDF / MirrorBRDF,
+# include/PathTrace/scene/propagation.h:57-108).
+BSDF_LAMBERTIAN = 0
+BSDF_GLASS = 1
+BSDF_MIRROR = 2
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "tri_v0", "tri_v1", "tri_v2",
+        "tri_n0", "tri_n1", "tri_n2",
+        "tri_cull", "tri_material", "tri_valid",
+        "sph_center", "sph_radius", "sph_material", "sph_valid",
+        "mat_diffuse", "mat_specular", "mat_ior", "mat_emission",
+        "mat_bsdf", "mat_one_way",
+        "light_pos", "light_spectrum",
+        "emissive_prim", "emissive_cdf",
+        "bvh_lo", "bvh_hi", "bvh_left", "bvh_right", "bvh_prim",
+    ],
+    meta_fields=[
+        "n_tri", "n_sph", "n_point_lights", "n_emissive",
+        "emissive_sample_count", "use_bvh", "bvh_depth",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    # Triangles (padded to >=1).
+    tri_v0: jnp.ndarray  # [T,3] f32
+    tri_v1: jnp.ndarray  # [T,3]
+    tri_v2: jnp.ndarray  # [T,3]
+    tri_n0: jnp.ndarray  # [T,3] per-vertex shading normals
+    tri_n1: jnp.ndarray  # [T,3]
+    tri_n2: jnp.ndarray  # [T,3]
+    tri_cull: jnp.ndarray  # [T] bool — backface culling flag
+    tri_material: jnp.ndarray  # [T] i32
+    tri_valid: jnp.ndarray  # [T] bool — False on padding lanes
+
+    # Spheres (padded to >=1).
+    sph_center: jnp.ndarray  # [S,3]
+    sph_radius: jnp.ndarray  # [S]
+    sph_material: jnp.ndarray  # [S] i32
+    sph_valid: jnp.ndarray  # [S] bool
+
+    # Material table — the differentiable leaves of the scene
+    # (ref Material/ConstantMaterial: include/PathTrace/scene/material.h).
+    mat_diffuse: jnp.ndarray  # [M,4] RGBA
+    mat_specular: jnp.ndarray  # [M,4] RGBA (default white, ref material.cpp:15-17)
+    mat_ior: jnp.ndarray  # [M] refractive index (default 1, ref material.cpp:3-5)
+    mat_emission: jnp.ndarray  # [M,4] RGBA radiance
+    mat_bsdf: jnp.ndarray  # [M] i32 BSDF type code
+    mat_one_way: jnp.ndarray  # [M] bool (MirrorBRDF one_way flag)
+
+    # Explicit point lights (ref PointLightSource: scene/light.h:55).
+    light_pos: jnp.ndarray  # [L,3]
+    light_spectrum: jnp.ndarray  # [L,4]
+
+    # Emissive-primitive sampling CDF (ref: src/scene/scene.cpp:165-208).
+    emissive_prim: jnp.ndarray  # [E] i32 global prim index
+    emissive_cdf: jnp.ndarray  # [E] f32 inclusive prefix sums, last == 1
+
+    # Flat BVH, one primitive per leaf (ref builds one object per leaf,
+    # src/scene/scene.cpp:12-102). bvh_prim >= 0 marks a leaf.
+    bvh_lo: jnp.ndarray  # [N,3]
+    bvh_hi: jnp.ndarray  # [N,3]
+    bvh_left: jnp.ndarray  # [N] i32
+    bvh_right: jnp.ndarray  # [N] i32
+    bvh_prim: jnp.ndarray  # [N] i32, -1 on internal nodes
+
+    # Static metadata (compile-time constants).
+    n_tri: int
+    n_sph: int
+    n_point_lights: int
+    n_emissive: int
+    emissive_sample_count: int
+    use_bvh: bool
+    bvh_depth: int
+
+    @property
+    def n_prims(self) -> int:
+        return self.n_tri + self.n_sph
+
+    @property
+    def num_materials(self) -> int:
+        return self.mat_diffuse.shape[0]
+
+
+@dataclasses.dataclass
+class HostSphere:
+    center: np.ndarray
+    radius: float
+    material: int = -1
+
+
+@dataclasses.dataclass
+class Material:
+    """Host-side material description (ref ConstantMaterial defaults:
+    src/scene/material.cpp:19-36 + base Material defaults :3-17)."""
+
+    diffuse: tuple = (1.0, 1.0, 1.0, 1.0)
+    specular: tuple = (1.0, 1.0, 1.0, 1.0)
+    ior: float = 1.0
+    emission: tuple = (0.0, 0.0, 0.0, 0.0)
+    bsdf: int = BSDF_LAMBERTIAN
+    one_way: bool = False
+
+
+class SceneBuilder:
+    """Assembles primitives/materials/lights on the host, then packs SoA
+    device arrays. The analog of constructing `Scene` in the reference
+    (ref: src/scene/scene.cpp:153-181)."""
+
+    def __init__(self):
+        self._triangles: list[HostTriangle] = []
+        self._spheres: list[HostSphere] = []
+        self._materials: list[Material] = [Material()]  # id 0 = default white
+        self._point_lights: list[tuple[np.ndarray, np.ndarray]] = []
+
+    # -- materials -----------------------------------------------------------
+    def add_material(self, material: Material | None = None, **kwargs) -> int:
+        if material is None:
+            material = Material(**kwargs)
+        self._materials.append(material)
+        return len(self._materials) - 1
+
+    # -- geometry ------------------------------------------------------------
+    def add_triangles(self, triangles: list[HostTriangle], material: int | None = None):
+        for t in triangles:
+            if material is not None:
+                t.material = material
+            if t.material < 0:
+                t.material = 0
+            self._triangles.append(t)
+        return self
+
+    def add_sphere(self, center, radius: float, material: int = 0):
+        self._spheres.append(HostSphere(np.asarray(center, dtype=np.float64), float(radius), material))
+        return self
+
+    # -- lights ---------------------------------------------------------------
+    def add_point_light(self, pos, spectrum):
+        self._point_lights.append(
+            (np.asarray(pos, dtype=np.float32), np.asarray(spectrum, dtype=np.float32))
+        )
+        return self
+
+    # -- build ----------------------------------------------------------------
+    def build(self, use_bvh: bool | None = None, dense_threshold: int = 128) -> SceneData:
+        from ..accel.build import build_bvh
+
+        f32 = np.float32
+        n_tri = len(self._triangles)
+        n_sph = len(self._spheres)
+
+        tpad = max(n_tri, 1)
+        spad = max(n_sph, 1)
+
+        tri_v = np.zeros((3, tpad, 3), f32)
+        tri_n = np.zeros((3, tpad, 3), f32)
+        tri_n[:, :, 1] = 1.0  # harmless unit normal on padding lanes
+        tri_cull = np.zeros(tpad, bool)
+        tri_mat = np.zeros(tpad, np.int32)
+        for i, t in enumerate(self._triangles):
+            tri_v[0, i], tri_v[1, i], tri_v[2, i] = t.a, t.b, t.c
+            tri_n[0, i], tri_n[1, i], tri_n[2, i] = t.na, t.nb, t.nc
+            tri_cull[i] = t.cull_backface
+            tri_mat[i] = t.material
+
+        sph_c = np.full((spad, 3), 1e30, f32)
+        sph_r = np.zeros(spad, f32)
+        sph_mat = np.zeros(spad, np.int32)
+        for i, s in enumerate(self._spheres):
+            sph_c[i] = s.center
+            sph_r[i] = s.radius
+            sph_mat[i] = s.material
+
+        n_mat = len(self._materials)
+        mat_diffuse = np.zeros((n_mat, 4), f32)
+        mat_specular = np.zeros((n_mat, 4), f32)
+        mat_ior = np.zeros(n_mat, f32)
+        mat_emission = np.zeros((n_mat, 4), f32)
+        mat_bsdf = np.zeros(n_mat, np.int32)
+        mat_one_way = np.zeros(n_mat, bool)
+        for i, m in enumerate(self._materials):
+            mat_diffuse[i] = m.diffuse
+            mat_specular[i] = m.specular
+            mat_ior[i] = m.ior
+            mat_emission[i] = m.emission
+            mat_bsdf[i] = m.bsdf
+            mat_one_way[i] = m.one_way
+
+        lpad = max(len(self._point_lights), 1)
+        light_pos = np.zeros((lpad, 3), f32)
+        light_spec = np.zeros((lpad, 4), f32)
+        for i, (p, s) in enumerate(self._point_lights):
+            light_pos[i] = p
+            light_spec[i] = s
+
+        # Emissive registry: power = (r+g+b)*a * surface area
+        # (ref: src/scene/scene.cpp:183-208 registerEmissiveObjects).
+        em_prims: list[int] = []
+        em_power: list[float] = []
+        for i, t in enumerate(self._triangles):
+            e = np.asarray(self._materials[t.material].emission, np.float64)
+            p = (e[0] + e[1] + e[2]) * e[3]
+            if p > 0:
+                area = t.surface_area()
+                if p * area > 0:
+                    em_prims.append(i)
+                    em_power.append(p * area)
+        for i, s in enumerate(self._spheres):
+            e = np.asarray(self._materials[s.material].emission, np.float64)
+            p = (e[0] + e[1] + e[2]) * e[3]
+            if p > 0:
+                area = 4.0 * PI * s.radius * s.radius
+                if p * area > 0:
+                    em_prims.append(n_tri + i)
+                    em_power.append(p * area)
+
+        n_emissive = len(em_prims)
+        epad = max(n_emissive, 1)
+        emissive_prim = np.zeros(epad, np.int32)
+        emissive_cdf = np.ones(epad, f32)  # cdf 1 on padding so searchsorted stays in range
+        if n_emissive > 0:
+            emissive_prim[:n_emissive] = em_prims
+            cdf = np.cumsum(np.asarray(em_power, np.float64))
+            cdf /= cdf[-1]
+            emissive_cdf[:n_emissive] = cdf.astype(f32)
+        # Per-vertex NEE sample count (ref: src/scene/scene.cpp:226).
+        emissive_sample_count = min(2 + int(np.log10(n_emissive + 1)), n_emissive)
+
+        # BVH over all valid primitives.
+        lo_tri = np.minimum(np.minimum(tri_v[0], tri_v[1]), tri_v[2])
+        hi_tri = np.maximum(np.maximum(tri_v[0], tri_v[1]), tri_v[2])
+        lo_sph = sph_c - sph_r[:, None]
+        hi_sph = sph_c + sph_r[:, None]
+        prim_lo = np.concatenate([lo_tri[:n_tri], lo_sph[:n_sph]], axis=0)
+        prim_hi = np.concatenate([hi_tri[:n_tri], hi_sph[:n_sph]], axis=0)
+
+        n_prims = n_tri + n_sph
+        if use_bvh is None:
+            use_bvh = n_prims > dense_threshold
+        if n_prims > 0:
+            bvh = build_bvh(prim_lo, prim_hi)
+        else:
+            bvh = build_bvh(np.zeros((1, 3), f32), np.zeros((1, 3), f32))
+
+        return SceneData(
+            tri_v0=jnp.asarray(tri_v[0]), tri_v1=jnp.asarray(tri_v[1]), tri_v2=jnp.asarray(tri_v[2]),
+            tri_n0=jnp.asarray(tri_n[0]), tri_n1=jnp.asarray(tri_n[1]), tri_n2=jnp.asarray(tri_n[2]),
+            tri_cull=jnp.asarray(tri_cull), tri_material=jnp.asarray(tri_mat),
+            tri_valid=jnp.asarray(np.arange(tpad) < n_tri),
+            sph_center=jnp.asarray(sph_c), sph_radius=jnp.asarray(sph_r),
+            sph_material=jnp.asarray(sph_mat),
+            sph_valid=jnp.asarray(np.arange(spad) < n_sph),
+            mat_diffuse=jnp.asarray(mat_diffuse), mat_specular=jnp.asarray(mat_specular),
+            mat_ior=jnp.asarray(mat_ior), mat_emission=jnp.asarray(mat_emission),
+            mat_bsdf=jnp.asarray(mat_bsdf), mat_one_way=jnp.asarray(mat_one_way),
+            light_pos=jnp.asarray(light_pos), light_spectrum=jnp.asarray(light_spec),
+            emissive_prim=jnp.asarray(emissive_prim), emissive_cdf=jnp.asarray(emissive_cdf),
+            bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
+            bvh_left=jnp.asarray(bvh.left), bvh_right=jnp.asarray(bvh.right),
+            bvh_prim=jnp.asarray(bvh.prim),
+            n_tri=n_tri, n_sph=n_sph,
+            n_point_lights=len(self._point_lights),
+            n_emissive=n_emissive,
+            emissive_sample_count=emissive_sample_count,
+            use_bvh=bool(use_bvh),
+            bvh_depth=int(bvh.depth),
+        )
