@@ -115,14 +115,19 @@ def dense_intersect(scene: SceneData, o, d):
     )
     t_sph = jnp.where(scene.sph_valid[None], t_sph, -1.0)
 
-    t_all = jnp.concatenate([t_tri, t_sph], axis=1)  # [R, P]
+    t_all = jnp.concatenate([t_tri, t_sph], axis=1)  # [R, Tpad + Spad]
     t_pos = jnp.where(t_all >= 0.0, t_all, jnp.inf)
     best = jnp.argmin(t_pos, axis=1)
     best_t = jnp.take_along_axis(t_pos, best[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(best_t)
+    # Map the concatenated (padded) slot index to the global primitive index
+    # space: [0, n_tri) triangles, [n_tri, n_tri + n_sph) spheres.
+    tpad = t_tri.shape[1]
+    best = best.astype(jnp.int32)
+    prim = jnp.where(best < tpad, best, best - tpad + scene.n_tri)
     return (
         jnp.where(hit, best_t, -1.0),
-        jnp.where(hit, best.astype(jnp.int32), -1),
+        jnp.where(hit, prim, -1),
     )
 
 

@@ -31,9 +31,11 @@ class HostTriangle:
     material: int = -1
 
     def __post_init__(self):
-        self.a = np.asarray(self.a, dtype=np.float64)
-        self.b = np.asarray(self.b, dtype=np.float64)
-        self.c = np.asarray(self.c, dtype=np.float64)
+        # np.array (not asarray): always copy, so callers mutating their
+        # vertex buffers afterwards cannot alias into stored triangles.
+        self.a = np.array(self.a, dtype=np.float64)
+        self.b = np.array(self.b, dtype=np.float64)
+        self.c = np.array(self.c, dtype=np.float64)
         if self.na is None:
             n = np.cross(self.b - self.a, self.c - self.a)
             norm = np.linalg.norm(n)

@@ -114,7 +114,7 @@ def load_mesh(
         text = source.read()
     else:
         source = str(source)
-        if "\n" in source or source.lstrip().startswith(("v ", "f ", "#")):
+        if "\n" in source or source.strip() == "" or source.lstrip().startswith(("v ", "f ", "#")):
             text = source
         else:
             with open(source, "r", errors="replace") as fh:

@@ -1,0 +1,118 @@
+"""Scene-level intersection tests (ref: test/scene/scene_test.cpp) plus
+BVH-vs-dense equivalence on randomized geometry."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpupathtrace_tpu.ops.intersect import bvh_intersect, dense_intersect, scene_intersect
+from cpupathtrace_tpu.scene.scene import SceneBuilder
+
+
+def two_sphere_scene(use_bvh):
+    b = SceneBuilder()
+    b.add_sphere((-1.0, -1.0, -1.0), 1.0)
+    b.add_sphere((1.0, 1.0, 1.0), 1.0)
+    return b.build(use_bvh=use_bvh)
+
+
+def test_two_sphere_nearest_hit():
+    for use_bvh in (False, True):
+        scene = two_sphere_scene(use_bvh)
+        o = jnp.array(
+            [
+                [-0.5, -0.5, -5.0],
+                [0.5, 0.5, -5.0],
+                [0.0, 0.0, 0.0],
+            ]
+        )
+        d = jnp.array([[0.0, 0.0, 1.0]] * 3)
+        t, prim = scene_intersect(scene, o, d)
+        # Ray 0 hits sphere 1 (prim index n_tri+0), ray 1 hits sphere 2.
+        assert float(t[0]) >= 0.0
+        assert int(prim[0]) == scene.n_tri + 0
+        assert float(t[1]) >= 0.0
+        assert int(prim[1]) == scene.n_tri + 1
+        # Ray from the origin: both spheres "behind"/tangent -> miss
+        # (ref: scene_test.cpp:44-47).
+        assert float(t[2]) < 0.0
+
+
+def _random_tri_scene(n_tri, seed, use_bvh):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    from cpupathtrace_tpu.scene.geometry import HostTriangle
+
+    centers = rng.uniform(-2, 2, size=(n_tri, 3))
+    tris = []
+    for c in centers:
+        verts = c + rng.uniform(-0.3, 0.3, size=(3, 3))
+        tris.append(HostTriangle(verts[0], verts[1], verts[2]))
+    b.add_triangles(tris, material=0)
+    return b.build(use_bvh=use_bvh)
+
+
+def test_bvh_matches_dense_random_triangles():
+    scene_b = _random_tri_scene(64, seed=3, use_bvh=True)
+    scene_d = _random_tri_scene(64, seed=3, use_bvh=False)
+
+    rng = np.random.default_rng(17)
+    n_rays = 256
+    o = jnp.asarray(rng.uniform(-4, 4, size=(n_rays, 3)), jnp.float32)
+    d = rng.normal(size=(n_rays, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    t_b, p_b = bvh_intersect(scene_b, o, d)
+    t_d, p_d = dense_intersect(scene_d, o, d)
+
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_d), rtol=1e-4, atol=1e-5)
+    # Primitive ids agree except where two hits tie within float noise.
+    mismatch = np.asarray(p_b) != np.asarray(p_d)
+    assert mismatch.mean() < 0.02
+
+
+def test_bvh_matches_dense_mixed_primitives():
+    b1, b2 = SceneBuilder(), SceneBuilder()
+    from cpupathtrace_tpu.scene.geometry import make_box
+
+    for b in (b1, b2):
+        b.add_triangles(make_box((-1, -1, -1), (1, 1, 1)))
+        b.add_sphere((0.0, 0.0, 0.0), 0.5)
+        b.add_sphere((2.0, 0.0, 0.0), 0.25)
+    sb = b1.build(use_bvh=True)
+    sd = b2.build(use_bvh=False)
+
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-3, 3, size=(128, 3)), jnp.float32)
+    d = rng.normal(size=(128, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    t_b, p_b = bvh_intersect(sb, o, d)
+    t_d, p_d = dense_intersect(sd, o, d)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_d), rtol=1e-4, atol=1e-5)
+
+
+def test_emissive_registry():
+    """Emissive CDF: power = (r+g+b)*a*area, normalized inclusive prefix sums
+    (ref: src/scene/scene.cpp:183-208)."""
+    from cpupathtrace_tpu.scene.geometry import make_plane
+
+    b = SceneBuilder()
+    m_dim = b.add_material(emission=(1.0, 0.0, 0.0, 1.0))  # power density 1
+    m_bright = b.add_material(emission=(1.0, 1.0, 1.0, 1.0))  # power density 3
+    # Equal-area unit planes (2 triangles each).
+    b.add_triangles(make_plane((0, 0, 0), (1, 0, 1)), m_dim)
+    b.add_triangles(make_plane((0, 2, 0), (1, 2, 1)), m_bright)
+    scene = b.build()
+    assert scene.n_emissive == 4
+    cdf = np.asarray(scene.emissive_cdf[:4])
+    np.testing.assert_allclose(cdf[-1], 1.0, rtol=1e-6)
+    # Triangle powers: 0.5*1, 0.5*1, 0.5*3, 0.5*3 -> cdf 0.125, 0.25, 0.625, 1.
+    np.testing.assert_allclose(cdf, [0.125, 0.25, 0.625, 1.0], rtol=1e-5)
+    # Sample count: min(2 + log10(4+1), 4) = 2 (ref: scene.cpp:226).
+    assert scene.emissive_sample_count == 2
+
+
+def test_empty_scene_builds_and_misses():
+    scene = SceneBuilder().build()
+    t, prim = scene_intersect(scene, jnp.zeros((4, 3)), jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1)))
+    assert bool(jnp.all(t < 0))
+    assert bool(jnp.all(prim < 0))
