@@ -1,0 +1,71 @@
+"""SPMD sharding tests on the 8-virtual-device CPU mesh — the distributed
+path the reference implements with a pthread pool (ref: worker.cpp:328-414)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpupathtrace_tpu import RenderOptions, make_camera
+from cpupathtrace_tpu.parallel import make_render_mesh, render_sharded
+from tests.scenes_util import inward_box_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = inward_box_scene()
+    cam = make_camera((0, 0, 0), (0, 0, 0.9), (0, 1, 0))
+    opts = RenderOptions(16, 16, 8, 8, max_depth=8)
+    return scene, cam, opts
+
+
+def test_mesh_construction(cpu_devices):
+    mesh = make_render_mesh()
+    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+    mesh1 = make_render_mesh(sample_axis=1)
+    assert mesh1.shape == {"dp": 8, "sp": 1}
+    with pytest.raises(ValueError):
+        make_render_mesh(sample_axis=3)
+
+
+def test_sharded_render_covered_and_lit(setup, cpu_devices):
+    scene, cam, opts = setup
+    mesh = make_render_mesh()
+    img = render_sharded(scene, cam, opts, mesh, seed=0, spp=8)
+    assert img.shape == (16, 16, 4)
+    np.testing.assert_allclose(img[..., 3], 1.0)
+    assert img[..., :3].mean() > 0.01
+    assert np.isfinite(img).all()
+
+
+def test_sharded_deterministic(setup, cpu_devices):
+    scene, cam, opts = setup
+    mesh = make_render_mesh()
+    img1 = render_sharded(scene, cam, opts, mesh, seed=5, spp=8)
+    img2 = render_sharded(scene, cam, opts, mesh, seed=5, spp=8)
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_mesh_shapes_statistically_agree(setup, cpu_devices):
+    """Different (dp, sp) factorizations estimate the same image within MC
+    noise — sharding must not change the estimator."""
+    scene, cam, opts = setup
+    m42 = make_render_mesh()              # 4x2
+    m81 = make_render_mesh(sample_axis=1)  # 8x1
+    a = render_sharded(scene, cam, opts, m42, seed=0, spp=32)
+    b = render_sharded(scene, cam, opts, m81, seed=1, spp=32)
+    # Median brightness agreement: NEE's 1/r^2 singularity makes the *mean*
+    # heavy-tailed (fireflies), so compare the robust statistic.
+    ma = np.median(a[..., :3])
+    mb = np.median(b[..., :3])
+    assert abs(ma - mb) / max(ma, mb) < 0.5, (ma, mb)
+    np.testing.assert_array_equal(a[..., 3], b[..., 3])
+
+
+def test_pixel_padding_handled(setup, cpu_devices):
+    """Image sizes not divisible by the dp axis are padded and cropped."""
+    scene, cam, _ = setup
+    opts = RenderOptions(7, 5, 4, 4, max_depth=6)
+    mesh = make_render_mesh()
+    img = render_sharded(scene, cam, opts, mesh, seed=0, spp=4)
+    assert img.shape == (5, 7, 4)
+    assert np.isfinite(img).all()
