@@ -51,11 +51,32 @@ def _surface_area_cost(lo: np.ndarray, hi: np.ndarray, mask: np.ndarray) -> floa
     return total
 
 
-def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray) -> FlatBVH:
-    """Build the flat BVH over primitive bounds [P,3]/[P,3]."""
+#: Primitive count above which the native C++ builder is preferred.
+NATIVE_THRESHOLD = 512
+
+
+def build_bvh(
+    prim_lo: np.ndarray, prim_hi: np.ndarray, use_native: bool | None = None
+) -> FlatBVH:
+    """Build the flat BVH over primitive bounds [P,3]/[P,3].
+
+    `use_native=None` auto-selects the C++ builder (native/ptx_native.cpp,
+    identical tree) for large primitive counts; True/False forces a path.
+    """
     n = prim_lo.shape[0]
     prim_lo = np.asarray(prim_lo, np.float32)
     prim_hi = np.asarray(prim_hi, np.float32)
+
+    if use_native is None:
+        use_native = n >= NATIVE_THRESHOLD
+    if use_native and n > 0:
+        from ..native import build_bvh_native
+
+        built = build_bvh_native(prim_lo, prim_hi)
+        if built is not None:
+            lo, hi, left, right, prim, depth = built
+            return FlatBVH(lo=lo, hi=hi, left=left, right=right, prim=prim,
+                           depth=depth)
 
     max_nodes = max(2 * n - 1, 1)
     lo = np.zeros((max_nodes, 3), np.float32)

@@ -124,7 +124,18 @@ def load_mesh(
     # The reference eats leading spaces before the record tag (mesh.cpp:186).
     lines = [l.lstrip(" ") for l in text.splitlines()]
 
-    parsed = _parse_fast(lines)
+    parsed = None
+    # Large inputs: the native C++ parser (native/ptx_native.cpp) with the
+    # same tolerant v/f semantics, ~20x faster than Python line handling.
+    if len(text) > 1 << 20:
+        from ..native import parse_obj_native
+
+        native = parse_obj_native(text)
+        if native is not None:
+            verts64, faces64 = native
+            parsed = (np.asarray(verts64, np.float64), faces64)
+    if parsed is None:
+        parsed = _parse_fast(lines)
     if parsed is None:
         parsed = _parse_tolerant(lines)
     verts, face_idx = parsed
