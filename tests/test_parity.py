@@ -1,0 +1,99 @@
+"""Golden-image parity vs the compiled C++ reference.
+
+The fixtures in tests/golden/ were rendered by the reference library built
+from /root/reference (-O3, gcc 12.2) via a harness replicating its worker
+call path (`processJob`), dumped as raw float32 [w,h | RGBA...] before any
+post-processing:
+
+  * golden_box_32.raw    — the inward-wound Cornell box of
+    tests/scenes_util.py, camera (0,0,0)->(0,0,0.9), 32x32 @ 512 spp fixed
+  * golden_sphere_32.raw — test/render_test.cpp SimpleSceneRenderTest
+    geometry (point light + sphere), 32x32 @ 512 spp
+
+The reference does not match *itself* pointwise at this sample count (median
+per-pixel relative error between two reference runs: ~0.21, dominated by
+NEE 1/r^2 fireflies), so parity is asserted on distribution statistics —
+pixel quantiles, which two reference runs reproduce to ~1e-3 — plus the
+exact alpha coverage mask.
+"""
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpupathtrace_tpu import RenderOptions, make_camera, SceneBuilder
+from cpupathtrace_tpu.integrator.film import pixel_camera_coords, render_chunk
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def read_golden(name):
+    with open(os.path.join(GOLDEN_DIR, name), "rb") as f:
+        w, h = struct.unpack("ii", f.read(8))
+        return np.frombuffer(f.read(), np.float32).reshape(h, w, 4)
+
+
+def render_fixed(scene, cam, size, spp, seed=3, max_depth=40, chunk=64):
+    opts = RenderOptions(size, size, spp, spp, max_depth=max_depth)
+    xg, yg = np.meshgrid(
+        np.arange(size, dtype=np.float32), np.arange(size, dtype=np.float32)
+    )
+    x, y = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    tot = np.zeros((size * size, 4))
+    cnt = np.zeros(size * size)
+    for k in jax.random.split(jax.random.PRNGKey(seed), spp // chunk):
+        s, c = render_chunk(scene, cam, opts, x, y, k, chunk)
+        tot += np.asarray(s)
+        cnt += np.asarray(c)
+    img = tot / np.maximum(cnt, 1)[:, None]
+    img[:, 3] = (cnt > 0).astype(np.float32)
+    return img.reshape(size, size, 4).astype(np.float32)
+
+
+def assert_quantile_parity(ours, golden, qs=(0.25, 0.5, 0.75), rtol=0.08):
+    for q in qs:
+        a = float(np.quantile(ours[..., :3], q))
+        b = float(np.quantile(golden[..., :3], q))
+        assert abs(a - b) <= rtol * max(abs(b), 1e-3), (q, a, b)
+
+
+@pytest.mark.slow
+def test_box_interior_parity():
+    from tests.scenes_util import inward_box_scene
+
+    golden = read_golden("golden_box_32.raw")
+    scene = inward_box_scene()
+    cam = make_camera((0, 0, 0), (0, 0, 0.9), (0, 1, 0), 1.0, 1.0, 1.0)
+    ours = render_fixed(scene, cam, 32, 512)
+    # Coverage identical: interior camera, every pixel hits.
+    np.testing.assert_array_equal(ours[..., 3], golden[..., 3])
+    # Radiance distribution parity (two reference runs agree to ~1e-3 on
+    # the median; allow MC slack on ours).
+    assert_quantile_parity(ours, golden)
+    # q95 (tail shoulder) also within tolerance.
+    assert_quantile_parity(ours, golden, qs=(0.95,), rtol=0.12)
+
+
+@pytest.mark.slow
+def test_sphere_point_light_parity():
+    golden = read_golden("golden_sphere_32.raw")
+    b = SceneBuilder()
+    b.add_point_light((0.0, 1.0, 0.0), (1.0, 1.0, 1.0, 1.0))
+    b.add_sphere((0.0, 0.0, 0.6), 0.5)
+    scene = b.build()
+    cam = make_camera((0, 0, 0), (0, 0, 1), (0, 1, 0), 0.1, 1.0, 1.0)
+    ours = render_fixed(scene, cam, 32, 512)
+    # Sphere silhouette: the alpha masks agree except possibly a 1-px rim
+    # (sub-pixel jitter at the silhouette edge).
+    diff = ours[..., 3] != golden[..., 3]
+    assert diff.mean() < 0.02, diff.mean()
+    # Lit-region radiance: compare means over the common coverage.
+    mask = (ours[..., 3] > 0) & (golden[..., 3] > 0)
+    a = ours[..., :3][mask].mean()
+    g = golden[..., :3][mask].mean()
+    assert abs(a - g) <= 0.1 * g, (a, g)
