@@ -146,7 +146,9 @@ def load_mesh(
         verts = h[:, :3] / h[:, 3:4]
 
     n_v = verts.shape[0]
-    if face_idx.shape[0] == 0:
+    if face_idx.shape[0] == 0 or n_v == 0:
+        # Faces without any vertices are all out of range
+        # (ref: mesh.cpp:149-158 index validation).
         return []
 
     # Face validation (ref: mesh.cpp:149-174).

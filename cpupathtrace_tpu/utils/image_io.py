@@ -38,4 +38,6 @@ def write_rgb_image(path, image: np.ndarray) -> None:
     if image.shape[-1] == 3:
         image = np.concatenate([image, np.ones_like(image[..., :1])], axis=-1)
     data = np.clip(np.round(image * 255.0), 0, 255).astype(np.uint8)
-    PILImage.fromarray(data, mode="RGBA").save(path)
+    # File objects carry no extension; the codec is always PNG
+    # (ref: image_io.cpp writePNGImage).
+    PILImage.fromarray(data, mode="RGBA").save(path, format="PNG")

@@ -1,0 +1,63 @@
+"""Checkpoint/resume tests: resumed renders are bit-identical to
+uninterrupted ones (capability absent from the reference, SURVEY §5)."""
+import numpy as np
+
+from cpupathtrace_tpu import RenderOptions, make_camera
+from cpupathtrace_tpu.integrator.checkpoint import (
+    load_checkpoint,
+    render_resumable,
+    save_checkpoint,
+)
+from tests.scenes_util import inward_box_scene
+
+
+def _setup():
+    scene = inward_box_scene()
+    cam = make_camera((0, 0, 0), (0, 0, 0.9), (0, 1, 0))
+    opts = RenderOptions(8, 8, 16, 16, max_depth=6)
+    return scene, cam, opts
+
+
+def test_uninterrupted_render(tmp_path):
+    scene, cam, opts = _setup()
+    state = render_resumable(scene, cam, opts, spp=16, spp_chunk=4)
+    assert state.chunks_done == 4
+    img = state.image()
+    assert img.shape == (8, 8, 4)
+    np.testing.assert_allclose(img[..., 3], 1.0)
+    assert img[..., :3].mean() > 0.0
+
+
+def test_resume_bit_identical(tmp_path):
+    scene, cam, opts = _setup()
+    ckpt = str(tmp_path / "film.npz")
+
+    # Full render, checkpointing every chunk.
+    full = render_resumable(
+        scene, cam, opts, spp=16, spp_chunk=4, checkpoint_path=ckpt
+    )
+
+    # Simulate an interruption: rewind the checkpoint to 2 chunks done.
+    half = load_checkpoint(ckpt)
+    base = render_resumable(scene, cam, opts, spp=8, spp_chunk=4,
+                            checkpoint_path=None)
+    half.pixel_sum = base.pixel_sum
+    half.sample_count = base.sample_count
+    half.chunks_done = 2
+    save_checkpoint(ckpt, half)
+
+    resumed = render_resumable(
+        scene, cam, opts, spp=16, spp_chunk=4, checkpoint_path=ckpt
+    )
+    np.testing.assert_array_equal(resumed.pixel_sum, full.pixel_sum)
+    np.testing.assert_array_equal(resumed.sample_count, full.sample_count)
+
+
+def test_mismatched_config_rejected(tmp_path):
+    import pytest
+
+    scene, cam, opts = _setup()
+    ckpt = str(tmp_path / "film.npz")
+    render_resumable(scene, cam, opts, spp=8, spp_chunk=4, checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        render_resumable(scene, cam, opts, spp=8, spp_chunk=2, checkpoint_path=ckpt)
