@@ -88,16 +88,17 @@ def _parse_fast(lines):
     v_lines = [l for l in lines if l.startswith("v ")]
     f_lines = [l for l in lines if l.startswith("f ")]
     try:
-        v = np.fromstring(" ".join(l[2:] for l in v_lines), sep=" ")  # noqa: NPY201
+        v_tok = " ".join(l[2:] for l in v_lines).split()
+        v = np.array(v_tok, dtype=np.float64)
         if v.size != 3 * len(v_lines):
             return None
-        f_tok = " ".join(
+        f_tok = [
             t.split("/", 1)[0] for l in f_lines for t in l[2:].split()
-        )
-        f = np.fromstring(f_tok, sep=" ")  # noqa: NPY201
+        ]
+        f = np.array(f_tok, dtype=np.int64)
         if f.size != 3 * len(f_lines):
             return None
-        return v.reshape(-1, 3), (f.reshape(-1, 3).astype(np.int64) - 1)
+        return v.reshape(-1, 3), (f.reshape(-1, 3) - 1)
     except Exception:
         return None
 
