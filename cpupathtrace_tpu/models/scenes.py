@@ -175,7 +175,7 @@ def bench_dragon_scene(dragon_obj: str | None = None, dragon_tris: int = 200000)
             standin_dragon_obj(dragon_tris), transform, cull_backface=False, smooth=True
         )
     b.add_triangles(tris, glass)
-    return b.build(use_bvh=True)
+    return b.build()
 
 
 def standin_dragon_obj(target_tris: int = 200000, seed: int = 7) -> str:

@@ -211,8 +211,116 @@ def bvh_intersect(scene: SceneData, o, d):
     return jnp.where(hit, best_t, -1.0), best_prim
 
 
+def cluster_intersect(scene: SceneData, o, d):
+    """Two-level traversal (TPU-native layout, accel/cluster.py): short-stack
+    walk of the small top tree over clusters; every leaf visit gathers one
+    pre-blocked [L]-triangle cluster per lane and dense-tests it — regular
+    VPU work instead of per-primitive gathers.
+
+    o, d: [R,3]. Returns (t [R], prim [R] global indices).
+    """
+    n_rays = o.shape[0]
+    stack_depth = scene.cl_depth + 2
+
+    stack = jnp.zeros((n_rays, stack_depth), jnp.int32)
+    sp = jnp.zeros(n_rays, jnp.int32)
+    node = jnp.zeros(n_rays, jnp.int32)
+    best_t = jnp.full(n_rays, jnp.inf)
+    best_prim = jnp.full(n_rays, -1, jnp.int32)
+
+    t_root = intersect_aabb(o, d, scene.cl_lo[0], scene.cl_hi[0])
+    active = t_root >= 0.0
+
+    def cond(state):
+        return jnp.any(state[5])
+
+    def body(state):
+        stack, sp, node, best_t, best_prim, active = state
+
+        leaf = scene.cl_leaf[node]
+        is_leaf = leaf >= 0
+
+        # --- Leaf: dense-test the whole cluster block for each lane.
+        cid = jnp.maximum(leaf, 0)
+        v0 = scene.blk_v0[cid]  # [R, L, 3]
+        v1 = scene.blk_v1[cid]
+        v2 = scene.blk_v2[cid]
+        cull = scene.blk_cull[cid]
+        pid = scene.blk_prim[cid]  # [R, L]
+        t_blk = intersect_triangles(
+            o[:, None, :], d[:, None, :], v0, v1, v2, cull
+        )
+        t_blk = jnp.where((pid >= 0) & (t_blk >= 0.0), t_blk, jnp.inf)
+        j = jnp.argmin(t_blk, axis=1)
+        t_leaf = jnp.take_along_axis(t_blk, j[:, None], axis=1)[:, 0]
+        p_leaf = jnp.take_along_axis(pid, j[:, None], axis=1)[:, 0]
+        better = active & is_leaf & (t_leaf < best_t)
+        best_t = jnp.where(better, t_leaf, best_t)
+        best_prim = jnp.where(better, p_leaf, best_prim)
+
+        # --- Internal: slab-test children, descend near, push far.
+        li = scene.cl_left[node]
+        ri = scene.cl_right[node]
+        t_l = intersect_aabb(o, d, scene.cl_lo[li], scene.cl_hi[li])
+        t_r = intersect_aabb(o, d, scene.cl_lo[ri], scene.cl_hi[ri])
+        hit_l = (t_l >= 0.0) & (t_l < best_t)
+        hit_r = (t_r >= 0.0) & (t_r < best_t)
+
+        l_near = jnp.where(hit_l & hit_r, t_l <= t_r, hit_l)
+        near = jnp.where(l_near, li, ri)
+        far = jnp.where(l_near, ri, li)
+        n_hits = hit_l.astype(jnp.int32) + hit_r.astype(jnp.int32)
+
+        push = active & (~is_leaf) & (n_hits == 2)
+        stack = jnp.where(
+            push[:, None]
+            & (jnp.arange(stack_depth)[None, :] == sp[:, None]),
+            far[:, None],
+            stack,
+        )
+        sp = jnp.where(push, sp + 1, sp)
+
+        descend = active & (~is_leaf) & (n_hits > 0)
+        want_pop = active & ~descend
+        can_pop = sp > 0
+        sp_new = jnp.where(want_pop & can_pop, sp - 1, sp)
+        popped = jnp.take_along_axis(
+            stack, jnp.maximum(sp_new, 0)[:, None], axis=1
+        )[:, 0]
+
+        node = jnp.where(descend, near, jnp.where(want_pop & can_pop, popped, node))
+        active = active & (descend | (want_pop & can_pop))
+        sp = sp_new
+
+        return stack, sp, node, best_t, best_prim, active
+
+    state = (stack, sp, node, best_t, best_prim, active)
+    state = jax.lax.while_loop(cond, body, state)
+    best_t, best_prim = state[3], state[4]
+
+    # Spheres: dense test (scenes carry at most a handful).
+    if scene.n_sph > 0:
+        t_sph = intersect_spheres(
+            o[:, None, :], d[:, None, :],
+            scene.sph_center[None], scene.sph_radius[None],
+        )
+        t_sph = jnp.where(scene.sph_valid[None] & (t_sph >= 0.0), t_sph, jnp.inf)
+        js = jnp.argmin(t_sph, axis=1)
+        ts = jnp.take_along_axis(t_sph, js[:, None], axis=1)[:, 0]
+        sph_better = ts < best_t
+        best_t = jnp.where(sph_better, ts, best_t)
+        best_prim = jnp.where(
+            sph_better, js.astype(jnp.int32) + scene.n_tri, best_prim
+        )
+
+    hit = best_prim >= 0
+    return jnp.where(hit, best_t, -1.0), best_prim
+
+
 def scene_intersect(scene: SceneData, o, d):
-    """Dispatch between the dense and BVH intersectors (static choice)."""
-    if scene.use_bvh:
+    """Dispatch between the intersectors (static choice at trace time)."""
+    if scene.accel == "cluster":
+        return cluster_intersect(scene, o, d)
+    if scene.accel == "bvh":
         return bvh_intersect(scene, o, d)
     return dense_intersect(scene, o, d)

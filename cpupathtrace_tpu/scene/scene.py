@@ -42,10 +42,13 @@ BSDF_MIRROR = 2
         "light_pos", "light_spectrum",
         "emissive_prim", "emissive_cdf",
         "bvh_lo", "bvh_hi", "bvh_left", "bvh_right", "bvh_prim",
+        "cl_lo", "cl_hi", "cl_left", "cl_right", "cl_leaf",
+        "blk_v0", "blk_v1", "blk_v2", "blk_cull", "blk_prim",
     ],
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
-        "emissive_sample_count", "use_bvh", "bvh_depth",
+        "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
+        "cluster_size",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -92,14 +95,34 @@ class SceneData:
     bvh_right: jnp.ndarray  # [N] i32
     bvh_prim: jnp.ndarray  # [N] i32, -1 on internal nodes
 
+    # Two-level cluster BVH over triangles (TPU-native layout, accel/
+    # cluster.py): top tree over clusters, triangle data pre-blocked
+    # [C, L] so each leaf visit dense-tests a full cluster per lane.
+    cl_lo: jnp.ndarray  # [Nc,3]
+    cl_hi: jnp.ndarray  # [Nc,3]
+    cl_left: jnp.ndarray  # [Nc] i32
+    cl_right: jnp.ndarray  # [Nc] i32
+    cl_leaf: jnp.ndarray  # [Nc] i32 cluster id on leaves, -1 internal
+    blk_v0: jnp.ndarray  # [C, L, 3]
+    blk_v1: jnp.ndarray  # [C, L, 3]
+    blk_v2: jnp.ndarray  # [C, L, 3]
+    blk_cull: jnp.ndarray  # [C, L] bool
+    blk_prim: jnp.ndarray  # [C, L] i32 global prim index, -1 padding
+
     # Static metadata (compile-time constants).
     n_tri: int
     n_sph: int
     n_point_lights: int
     n_emissive: int
     emissive_sample_count: int
-    use_bvh: bool
+    accel: str  # "dense" | "bvh" | "cluster"
     bvh_depth: int
+    cl_depth: int
+    cluster_size: int
+
+    @property
+    def use_bvh(self) -> bool:
+        return self.accel != "dense"
 
     @property
     def n_prims(self) -> int:
@@ -170,8 +193,24 @@ class SceneBuilder:
         return self
 
     # -- build ----------------------------------------------------------------
-    def build(self, use_bvh: bool | None = None, dense_threshold: int = 128) -> SceneData:
+    def build(
+        self,
+        use_bvh: bool | None = None,
+        dense_threshold: int = 128,
+        accel: str | None = None,
+        cluster_size: int = 64,
+    ) -> SceneData:
+        """Pack the scene into SoA device arrays.
+
+        `accel` selects the intersector: "dense" (all rays x all prims,
+        best for small scenes), "bvh" (per-primitive-leaf tree, the
+        reference layout), "cluster" (two-level cluster tree, the TPU-native
+        layout for large meshes). Default: dense below `dense_threshold`
+        primitives, cluster above. `use_bvh` (bool) is the legacy switch
+        mapping to "bvh"/"dense".
+        """
         from ..accel.build import build_bvh
+        from ..accel.cluster import build_cluster_bvh
 
         f32 = np.float32
         n_tri = len(self._triangles)
@@ -263,12 +302,49 @@ class SceneBuilder:
         prim_hi = np.concatenate([hi_tri[:n_tri], hi_sph[:n_sph]], axis=0)
 
         n_prims = n_tri + n_sph
-        if use_bvh is None:
-            use_bvh = n_prims > dense_threshold
+        if accel is None:
+            if use_bvh is True:
+                accel = "bvh"
+            elif use_bvh is False:
+                accel = "dense"
+            else:
+                accel = "dense" if n_prims <= dense_threshold else "cluster"
+        if accel not in ("dense", "bvh", "cluster"):
+            raise ValueError(f"unknown accel {accel!r}")
+        if accel == "cluster" and n_tri == 0:
+            accel = "dense" if n_prims <= dense_threshold else "bvh"
+
         if n_prims > 0:
             bvh = build_bvh(prim_lo, prim_hi)
         else:
             bvh = build_bvh(np.zeros((1, 3), f32), np.zeros((1, 3), f32))
+
+        # Cluster structure over triangles (spheres are dense-tested by the
+        # cluster intersector; scenes are sphere-light in practice).
+        if accel == "cluster":
+            cl = build_cluster_bvh(
+                lo_tri[:n_tri], hi_tri[:n_tri], cluster_size=cluster_size
+            )
+            c = cl.members.shape[0]
+            blk_idx = np.maximum(cl.members, 0)
+            blk_v0 = tri_v[0][blk_idx]
+            blk_v1 = tri_v[1][blk_idx]
+            blk_v2 = tri_v[2][blk_idx]
+            blk_cull = tri_cull[blk_idx]
+            blk_prim = cl.members
+            cl_arrays = (cl.lo, cl.hi, cl.left, cl.right, cl.cluster)
+            cl_depth = cl.depth
+        else:
+            blk_v0 = blk_v1 = blk_v2 = np.zeros((1, 1, 3), f32)
+            blk_cull = np.zeros((1, 1), bool)
+            blk_prim = np.full((1, 1), -1, np.int32)
+            cl_arrays = (
+                np.zeros((1, 3), f32), np.zeros((1, 3), f32),
+                np.full(1, -1, np.int32), np.full(1, -1, np.int32),
+                np.full(1, -1, np.int32),
+            )
+            cl_depth = 1
+            cluster_size = 1
 
         return SceneData(
             tri_v0=jnp.asarray(tri_v[0]), tri_v1=jnp.asarray(tri_v[1]), tri_v2=jnp.asarray(tri_v[2]),
@@ -286,10 +362,18 @@ class SceneBuilder:
             bvh_lo=jnp.asarray(bvh.lo), bvh_hi=jnp.asarray(bvh.hi),
             bvh_left=jnp.asarray(bvh.left), bvh_right=jnp.asarray(bvh.right),
             bvh_prim=jnp.asarray(bvh.prim),
+            cl_lo=jnp.asarray(cl_arrays[0]), cl_hi=jnp.asarray(cl_arrays[1]),
+            cl_left=jnp.asarray(cl_arrays[2]), cl_right=jnp.asarray(cl_arrays[3]),
+            cl_leaf=jnp.asarray(cl_arrays[4]),
+            blk_v0=jnp.asarray(blk_v0), blk_v1=jnp.asarray(blk_v1),
+            blk_v2=jnp.asarray(blk_v2), blk_cull=jnp.asarray(blk_cull),
+            blk_prim=jnp.asarray(blk_prim),
             n_tri=n_tri, n_sph=n_sph,
             n_point_lights=len(self._point_lights),
             n_emissive=n_emissive,
             emissive_sample_count=emissive_sample_count,
-            use_bvh=bool(use_bvh),
+            accel=accel,
             bvh_depth=int(bvh.depth),
+            cl_depth=int(cl_depth),
+            cluster_size=int(cluster_size),
         )
