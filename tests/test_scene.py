@@ -116,3 +116,74 @@ def test_empty_scene_builds_and_misses():
     t, prim = scene_intersect(scene, jnp.zeros((4, 3)), jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1)))
     assert bool(jnp.all(t < 0))
     assert bool(jnp.all(prim < 0))
+
+
+def test_cluster_matches_dense_mixed():
+    """Two-level cluster accel (TPU-native layout) must agree with dense."""
+    from cpupathtrace_tpu.ops.intersect import cluster_intersect
+    from cpupathtrace_tpu.scene.geometry import HostTriangle
+
+    def build(accel):
+        rng = np.random.default_rng(11)
+        b = SceneBuilder()
+        tris = []
+        for c in rng.uniform(-2, 2, (300, 3)):
+            v = c + rng.uniform(-0.3, 0.3, (3, 3))
+            tris.append(HostTriangle(v[0], v[1], v[2]))
+        b.add_triangles(tris, 0)
+        b.add_sphere((0.0, 0.0, 0.0), 0.4)
+        b.add_sphere((1.5, 0.0, 0.0), 0.2)
+        return b.build(accel=accel, cluster_size=32)
+
+    sc = build("cluster")
+    sd = build("dense")
+    assert sc.accel == "cluster"
+    rng = np.random.default_rng(12)
+    o = jnp.asarray(rng.uniform(-4, 4, (512, 3)), jnp.float32)
+    d = rng.normal(size=(512, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    tc, pc = cluster_intersect(sc, o, d)
+    td, pd = scene_intersect(sd, o, d)
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(td), rtol=1e-4, atol=1e-5)
+    mismatch = np.asarray(pc) != np.asarray(pd)
+    assert mismatch.mean() < 0.02
+
+
+def test_cluster_render_matches_dense_render():
+    """Full wavefront render through the cluster intersector agrees with the
+    dense intersector statistically (same estimator, different accel)."""
+    import jax as _jax
+    from cpupathtrace_tpu import RenderOptions, make_camera
+    from cpupathtrace_tpu.integrator.film import pixel_camera_coords, render_chunk
+    from tests.scenes_util import inward_box_scene
+
+    # Rebuild the inward box with the cluster accel forced.
+    from cpupathtrace_tpu.scene.geometry import make_plane
+
+    def build(accel):
+        b = SceneBuilder()
+        white = b.add_material(diffuse=(1, 1, 1, 1))
+        light = b.add_material(diffuse=(1, 1, 1, 1), emission=(1, 1, 1, 1))
+        b.add_triangles(make_plane((1, -1, -1), (-1, -1, 1), True), white)
+        b.add_triangles(make_plane((-1, 1, -1), (1, 1, 1), True), white)
+        b.add_triangles(make_plane((-0.25, 0.99, -0.25), (0.25, 0.99, 0.25), True), light)
+        b.add_triangles(make_plane((-1, -1, -1), (1, 1, -1), True), white)
+        b.add_triangles(make_plane((-1, -1, -1), (-1, 1, 1), True), white)
+        b.add_triangles(make_plane((1, -1, 1), (-1, 1, 1), True), white)
+        b.add_triangles(make_plane((1, -1, 1), (1, 1, -1), True), white)
+        return b.build(accel=accel, cluster_size=4)
+
+    cam = make_camera((0, 0, 0), (0, 0, 0.9), (0, 1, 0))
+    opts = RenderOptions(8, 8, 32, 32, max_depth=6)
+    xg, yg = np.meshgrid(np.arange(8, dtype=np.float32), np.arange(8, dtype=np.float32))
+    x_cam, y_cam = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    x_cam = jnp.asarray(x_cam, jnp.float32)
+    y_cam = jnp.asarray(y_cam, jnp.float32)
+    means = {}
+    for accel in ("cluster", "dense"):
+        s, c = render_chunk(build(accel), cam, opts, x_cam, y_cam,
+                            _jax.random.PRNGKey(0), 32)
+        means[accel] = float(np.median(np.asarray(s)[:, :3]))
+        assert (np.asarray(c) == 32).all()
+    a, b = means["cluster"], means["dense"]
+    assert abs(a - b) / max(a, b) < 0.4, means
