@@ -27,6 +27,11 @@ SPP_CHUNK = 64  # launches of W*H*SPP_CHUNK rays; film accumulates
 
 
 def main():
+    # Persistent compilation cache: the remote-compiled executable is reused
+    # across bench runs (first compile of the wavefront takes minutes).
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from cpupathtrace_tpu.core.config import RenderOptions
     from cpupathtrace_tpu.integrator.film import pixel_camera_coords, render_chunk
     from cpupathtrace_tpu.models.scenes import bench_box_scene, bench_camera
@@ -56,10 +61,11 @@ def main():
             count = count + c
         return total, count
 
-    # Warmup (compile).
+    # Warmup (compile). NB: sync via host transfer — block_until_ready has
+    # been observed to return early on the axon-tunneled backend.
     t0 = time.time()
     total, count = frame(0)
-    jax.block_until_ready(total)
+    np.asarray(total)
     compile_s = time.time() - t0
 
     best = 1e30
@@ -67,7 +73,7 @@ def main():
     for i in range(iters):
         t0 = time.time()
         total, count = frame(i + 1)
-        jax.block_until_ready(total)
+        np.asarray(total)
         dt = time.time() - t0
         best = min(best, dt)
         print(

@@ -36,6 +36,8 @@ class ClusterBVH:
 
     # Cluster-blocked primitive data: global prim indices, padded with -1.
     members: np.ndarray  # [C, L] i32
+    c_lo: np.ndarray  # [C, 3] cluster bounds (flat, for the sweep intersector)
+    c_hi: np.ndarray  # [C, 3]
     n_clusters: int
     cluster_size: int
 
@@ -103,6 +105,8 @@ def build_cluster_bvh(
         cluster=top.prim,
         depth=top.depth,
         members=members,
+        c_lo=c_lo,
+        c_hi=c_hi,
         n_clusters=c,
         cluster_size=cluster_size,
     )

@@ -44,6 +44,7 @@ BSDF_MIRROR = 2
         "bvh_lo", "bvh_hi", "bvh_left", "bvh_right", "bvh_prim",
         "cl_lo", "cl_hi", "cl_left", "cl_right", "cl_leaf",
         "blk_v0", "blk_v1", "blk_v2", "blk_cull", "blk_prim",
+        "blk_lo", "blk_hi",
     ],
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
@@ -108,6 +109,8 @@ class SceneData:
     blk_v2: jnp.ndarray  # [C, L, 3]
     blk_cull: jnp.ndarray  # [C, L] bool
     blk_prim: jnp.ndarray  # [C, L] i32 global prim index, -1 padding
+    blk_lo: jnp.ndarray  # [C, 3] cluster bounds (sweep intersector)
+    blk_hi: jnp.ndarray  # [C, 3]
 
     # Static metadata (compile-time constants).
     n_tri: int
@@ -115,7 +118,7 @@ class SceneData:
     n_point_lights: int
     n_emissive: int
     emissive_sample_count: int
-    accel: str  # "dense" | "bvh" | "cluster"
+    accel: str  # "dense" | "bvh" | "cluster" | "sweep"
     bvh_depth: int
     cl_depth: int
     cluster_size: int
@@ -309,9 +312,9 @@ class SceneBuilder:
                 accel = "dense"
             else:
                 accel = "dense" if n_prims <= dense_threshold else "cluster"
-        if accel not in ("dense", "bvh", "cluster"):
+        if accel not in ("dense", "bvh", "cluster", "sweep"):
             raise ValueError(f"unknown accel {accel!r}")
-        if accel == "cluster" and n_tri == 0:
+        if accel in ("cluster", "sweep") and n_tri == 0:
             accel = "dense" if n_prims <= dense_threshold else "bvh"
 
         if n_prims > 0:
@@ -321,7 +324,7 @@ class SceneBuilder:
 
         # Cluster structure over triangles (spheres are dense-tested by the
         # cluster intersector; scenes are sphere-light in practice).
-        if accel == "cluster":
+        if accel in ("cluster", "sweep"):
             cl = build_cluster_bvh(
                 lo_tri[:n_tri], hi_tri[:n_tri], cluster_size=cluster_size
             )
@@ -332,12 +335,15 @@ class SceneBuilder:
             blk_v2 = tri_v[2][blk_idx]
             blk_cull = tri_cull[blk_idx]
             blk_prim = cl.members
+            blk_lo, blk_hi = cl.c_lo, cl.c_hi
             cl_arrays = (cl.lo, cl.hi, cl.left, cl.right, cl.cluster)
             cl_depth = cl.depth
         else:
             blk_v0 = blk_v1 = blk_v2 = np.zeros((1, 1, 3), f32)
             blk_cull = np.zeros((1, 1), bool)
             blk_prim = np.full((1, 1), -1, np.int32)
+            blk_lo = np.zeros((1, 3), f32)
+            blk_hi = np.zeros((1, 3), f32)
             cl_arrays = (
                 np.zeros((1, 3), f32), np.zeros((1, 3), f32),
                 np.full(1, -1, np.int32), np.full(1, -1, np.int32),
@@ -368,6 +374,7 @@ class SceneBuilder:
             blk_v0=jnp.asarray(blk_v0), blk_v1=jnp.asarray(blk_v1),
             blk_v2=jnp.asarray(blk_v2), blk_cull=jnp.asarray(blk_cull),
             blk_prim=jnp.asarray(blk_prim),
+            blk_lo=jnp.asarray(blk_lo), blk_hi=jnp.asarray(blk_hi),
             n_tri=n_tri, n_sph=n_sph,
             n_point_lights=len(self._point_lights),
             n_emissive=n_emissive,
