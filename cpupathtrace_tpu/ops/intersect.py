@@ -425,6 +425,15 @@ def sweep_intersect(scene: SceneData, o, d, k: int = _SWEEP_K):
     return jnp.where(hit, best_t, -1.0), best_prim
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def scene_intersect(scene: SceneData, o, d):
     """Dispatch between the intersectors (static choice at trace time)."""
     if scene.accel == "sweep":
@@ -433,4 +442,10 @@ def scene_intersect(scene: SceneData, o, d):
         return cluster_intersect(scene, o, d)
     if scene.accel == "bvh":
         return bvh_intersect(scene, o, d)
+    # Dense: the Pallas kernel keeps the primitive tables in VMEM and cuts
+    # HBM traffic ~200x vs the broadcast jnp formulation; TPU only.
+    if _on_tpu() and scene.tri_v0.shape[0] + scene.sph_center.shape[0] <= 256:
+        from .pallas_intersect import dense_intersect_pallas
+
+        return dense_intersect_pallas(scene, o, d)
     return dense_intersect(scene, o, d)
