@@ -1,0 +1,644 @@
+"""Pallas TPU megakernel: the full path-trace loop on-chip.
+
+The wavefront integrator (`wavefront.py`) round-trips every per-bounce
+intermediate through HBM; measured cost ~200ms per bounce for a 1M-ray
+batch on v5e — bandwidth, not compute. This kernel runs the ENTIRE
+estimator for a block of rays inside one Pallas program: scene tables in
+SMEM, all path state in vector registers/VMEM, a `fori_loop` over bounces,
+per-core PRNG for sampling. HBM traffic collapses to reading the ray batch
+and writing (spectrum, collected) — ~40 bytes per ray for the whole path.
+
+Estimator parity with `wavefront.trace` / the C++ reference
+(ref: src/worker.cpp:26-146):
+  * emission at every vertex weighted 1/(divisor * bounce_pd)
+  * NEE at every vertex over point lights + K CDF-drawn emissive prims,
+    weight 1/(divisor * bounce_pd * light_pd * shadow_pd); specular BSDFs
+    opt out via synthetic pdf 0
+  * roulette p=1 through depth 4 then 0.1+0.1*min(contribution,1), with the
+    (1-p) stop factor folded into bounce_pd
+  * 1e-20 divisor/bounce_pd cutoffs; alpha = any-hit
+The RANDOM STREAM differs (pltpu PRNG vs threefry): estimates agree in
+distribution, not bitwise — exactly the relationship the reference has with
+its own `std::random_device`-seeded runs.
+
+Scope: "dense-table" scenes — up to _MAX_TRI triangles + _MAX_SPH spheres
+(the benchmark/test scenes; large scenes use the cluster/sweep path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.scene import SceneData, BSDF_GLASS, BSDF_LAMBERTIAN, BSDF_MIRROR
+from ..core.config import RenderOptions
+
+_TRI_EPS = 1e-6
+_PD_CUTOFF = 1e-20
+_PI = 3.14159265358979323846
+_BLOCK_ROWS = 32
+_LANES = 128
+_MAX_TRI = 64
+_MAX_SPH = 8
+
+# Table row layouts (all f32):
+# tri: v0(0:3) e1(3:6) e2(6:9) cull(9) valid(10) n0(11:14) n1(14:17) n2(17:20)
+#      mat(20)
+_TRI_COLS = 24
+# sph: center(0:3) radius(3) valid(4) mat(5)
+_SPH_COLS = 8
+# mat: diffuse(0:3) specular(3:6) ior(6) emission(7:10) bsdf(10) one_way(11)
+_MAT_COLS = 12
+# light (point): pos(0:3) spectrum(3:6)
+_LGT_COLS = 8
+# emissive: cdf(0) prim_row(1) is_sphere(2)
+_EM_COLS = 4
+
+
+def _u01(shape):
+    """Uniform [0,1) from the per-core PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _intersect_tables(tri_ref, sph_ref, n_tri, n_sph,
+                      ox, oy, oz, dx, dy, dz, want_normal_mat):
+    """Nearest-hit over the SMEM tables. Returns best_t (+inf on miss),
+    best_prim, and — when want_normal_mat — the interpolated shading normal
+    and material id of the winner, computed in-loop at win time."""
+    shp = ox.shape
+    best_t = jnp.full(shp, jnp.inf, jnp.float32)
+    best_p = jnp.full(shp, -1, jnp.int32)
+    nx = jnp.zeros(shp, jnp.float32)
+    ny = jnp.ones(shp, jnp.float32)
+    nz = jnp.zeros(shp, jnp.float32)
+    mat = jnp.zeros(shp, jnp.int32)
+
+    for k in range(n_tri):
+        v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
+        e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
+        e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
+        cull = tri_ref[k, 9]
+        valid = tri_ref[k, 10]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        is_cull = cull > 0.5
+        miss_det = (is_cull & (det <= _TRI_EPS)) | (
+            (~is_cull) & (jnp.abs(det) <= _TRI_EPS)
+        )
+        inv_det = 1.0 / jnp.where(miss_det, 1.0, det)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (
+            (valid > 0.5) & ~miss_det
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= 0.0) & (t < best_t)
+        )
+        best_t = jnp.where(ok, t, best_t)
+        best_p = jnp.where(ok, k, best_p)
+        if want_normal_mat:
+            # Barycentric shading normal at win time
+            # (ref: object.cpp:126-144): weights (1-u-v, u, v).
+            w0 = 1.0 - u - v
+            snx = (w0 * tri_ref[k, 11] + u * tri_ref[k, 14] + v * tri_ref[k, 17])
+            sny = (w0 * tri_ref[k, 12] + u * tri_ref[k, 15] + v * tri_ref[k, 18])
+            snz = (w0 * tri_ref[k, 13] + u * tri_ref[k, 16] + v * tri_ref[k, 19])
+            inv = jax.lax.rsqrt(snx * snx + sny * sny + snz * snz + 1e-30)
+            nx = jnp.where(ok, snx * inv, nx)
+            ny = jnp.where(ok, sny * inv, ny)
+            nz = jnp.where(ok, snz * inv, nz)
+            mat = jnp.where(ok, tri_ref[k, 20].astype(jnp.int32), mat)
+
+    for k in range(n_sph):
+        cx, cy, cz = sph_ref[k, 0], sph_ref[k, 1], sph_ref[k, 2]
+        r = sph_ref[k, 3]
+        valid = sph_ref[k, 4]
+        cox = ox - cx
+        coy = oy - cy
+        coz = oz - cz
+        dd = dx * cox + dy * coy + dz * coz
+        disc = dd * dd - (cox * cox + coy * coy + coz * coz) + r * r
+        t = -(dd + jnp.sqrt(jnp.maximum(disc, 0.0)))
+        ok = (valid > 0.5) & (disc >= 0.0) & (t >= 0.0) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_p = jnp.where(ok, k + n_tri, best_p)
+        if want_normal_mat:
+            hx = ox + dx * t - cx
+            hy = oy + dy * t - cy
+            hz = oz + dz * t - cz
+            inv = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-30)
+            nx = jnp.where(ok, hx * inv, nx)
+            ny = jnp.where(ok, hy * inv, ny)
+            nz = jnp.where(ok, hz * inv, nz)
+            mat = jnp.where(ok, sph_ref[k, 5].astype(jnp.int32), mat)
+
+    if want_normal_mat:
+        return best_t, best_p, nx, ny, nz, mat
+    return best_t, best_p
+
+
+def _gather_mat_scalar(mat_ref, mid, col, n_mat):
+    """Per-lane material column via masked scalar selects over M rows."""
+    out = jnp.zeros(mid.shape, jnp.float32)
+    for m in range(n_mat):
+        out = jnp.where(mid == m, mat_ref[m, col], out)
+    return out
+
+
+def _tangent_frame(nx, ny, nz):
+    """Branch-free tangent frame (parity: propagation.cpp:24-62 structure,
+    see utils/math.orthonormal_frame)."""
+    has_x = jnp.abs(nx) > 0.0
+    has_y = jnp.abs(ny) > 0.0
+    dxv = jnp.where(has_x, 0.0, jnp.where(has_y, -ny, 1.0))
+    dyv = jnp.where(has_x, -nx, jnp.where(has_y, nz, 0.0))
+    dzv = jnp.where(has_x, jnp.where(has_y, ny, nz), 0.0)
+    inv = jax.lax.rsqrt(dxv * dxv + dyv * dyv + dzv * dzv + 1e-30)
+    dxv, dyv, dzv = dxv * inv, dyv * inv, dzv * inv
+    # b1 = normalize(cross(d, n))
+    b1x = dyv * nz - dzv * ny
+    b1y = dzv * nx - dxv * nz
+    b1z = dxv * ny - dyv * nx
+    inv1 = jax.lax.rsqrt(b1x * b1x + b1y * b1y + b1z * b1z + 1e-30)
+    b1x, b1y, b1z = b1x * inv1, b1y * inv1, b1z * inv1
+    # b2 = normalize(cross(b1, n))
+    b2x = b1y * nz - b1z * ny
+    b2y = b1z * nx - b1x * nz
+    b2z = b1x * ny - b1y * nx
+    inv2 = jax.lax.rsqrt(b2x * b2x + b2y * b2y + b2z * b2z + 1e-30)
+    return b1x, b1y, b1z, b2x * inv2, b2y * inv2, b2z * inv2
+
+
+def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
+                     epsilon):
+    def kernel(seed_ref, tri_ref, sph_ref, mat_ref, lgt_ref, em_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               r_out, g_out, b_out, coll_out):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(1000003))
+
+        shp = ox_ref.shape
+
+        def body(depth, st):
+            (ox, oy, oz, dx, dy, dz,
+             sr, sg, sb, out_r, out_g, out_b,
+             divisor, bounce_pd, contrib_unw, collected, alive) = st
+
+            bt, bp, nx, ny, nz, mid = _intersect_tables(
+                tri_ref, sph_ref, n_tri, n_sph, ox, oy, oz, dx, dy, dz, True
+            )
+            hit = alive & (bp >= 0)
+            collected = collected | hit
+            t_hit = jnp.where(bp >= 0, bt, 0.0)
+            pxp = ox + dx * t_hit
+            pyp = oy + dy * t_hit
+            pzp = oz + dz * t_hit
+
+            md_r = _gather_mat_scalar(mat_ref, mid, 0, n_mat)
+            md_g = _gather_mat_scalar(mat_ref, mid, 1, n_mat)
+            md_b = _gather_mat_scalar(mat_ref, mid, 2, n_mat)
+            ms_r = _gather_mat_scalar(mat_ref, mid, 3, n_mat)
+            ms_g = _gather_mat_scalar(mat_ref, mid, 4, n_mat)
+            ms_b = _gather_mat_scalar(mat_ref, mid, 5, n_mat)
+            ior = _gather_mat_scalar(mat_ref, mid, 6, n_mat)
+            me_r = _gather_mat_scalar(mat_ref, mid, 7, n_mat)
+            me_g = _gather_mat_scalar(mat_ref, mid, 8, n_mat)
+            me_b = _gather_mat_scalar(mat_ref, mid, 9, n_mat)
+            bsdf = _gather_mat_scalar(mat_ref, mid, 10, n_mat)
+            one_way = _gather_mat_scalar(mat_ref, mid, 11, n_mat) > 0.5
+            is_glass = bsdf == jnp.float32(BSDF_GLASS)
+            is_mirror = bsdf == jnp.float32(BSDF_MIRROR)
+            is_spec = is_glass | is_mirror
+
+            weight = 1.0 / (divisor * bounce_pd)
+            out_r = out_r + jnp.where(hit, sr * me_r * weight, 0.0)
+            out_g = out_g + jnp.where(hit, sg * me_g * weight, 0.0)
+            out_b = out_b + jnp.where(hit, sb * me_b * weight, 0.0)
+
+            # Russian roulette (ref: worker.cpp:67-70); depth is scalar.
+            mean_s = (sr + sg + sb) / 3.0
+            bpv = jnp.where(
+                depth + 1 <= 4,
+                jnp.float32(1.0),
+                0.1 + 0.1 * jnp.minimum(contrib_unw * mean_s, 1.0),
+            )
+            u_rt = _u01(shp)
+            do_bounce = u_rt < bpv
+
+            # ---- Next-event estimation ----------------------------------
+            def nee_accumulate(lx, ly, lz, ls_r, ls_g, ls_b, lpd, lvalid,
+                               out_r, out_g, out_b):
+                tlx = lx - pxp
+                tly = ly - pyp
+                tlz = lz - pzp
+                dist2 = tlx * tlx + tly * tly + tlz * tlz
+                dist = jnp.sqrt(dist2)
+                inv = 1.0 / jnp.maximum(dist, 1e-30)
+                ldx, ldy, ldz = tlx * inv, tly * inv, tlz * inv
+                sox = pxp + ldx * epsilon
+                soy = pyp + ldy * epsilon
+                soz = pzp + ldz * epsilon
+                st_t, st_p = _intersect_tables(
+                    tri_ref, sph_ref, n_tri, n_sph,
+                    sox, soy, soz, ldx, ldy, ldz, False,
+                )
+                lt = jnp.where(st_p >= 0, st_t, -1.0)
+                visible = (lt < 0.0) | (lt >= dist - epsilon)
+                # Lambertian eval (specular: synthetic pdf 0 -> skip).
+                cos_s = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+                shade = cos_s / _PI
+                use = hit & lvalid & visible & (~is_spec) & (lpd > 0.0)
+                w = jnp.where(use, shade / (divisor * bounce_pd * lpd), 0.0)
+                out_r = out_r + w * md_r * ls_r * sr
+                out_g = out_g + w * md_g * ls_g * sg
+                out_b = out_b + w * md_b * ls_b * sb
+                return out_r, out_g, out_b
+
+            for li in range(n_lights):
+                out_r, out_g, out_b = nee_accumulate(
+                    lgt_ref[li, 0], lgt_ref[li, 1], lgt_ref[li, 2],
+                    lgt_ref[li, 3], lgt_ref[li, 4], lgt_ref[li, 5],
+                    jnp.float32(1.0), jnp.full(shp, True),
+                    out_r, out_g, out_b,
+                )
+
+            for _ in range(em_k):
+                rsel = _u01(shp)
+                u1 = _u01(shp)
+                u2 = _u01(shp)
+                # CDF selection over emissive rows (ref: scene.cpp:238-257).
+                sel = jnp.full(shp, n_em - 1, jnp.int32)
+                for e in range(n_em - 1, -1, -1):
+                    sel = jnp.where(rsel <= em_ref[e, 0], e, sel)
+                # Fetch the selected emissive prim's data by masked selects.
+                spx = jnp.zeros(shp, jnp.float32)
+                spy = jnp.zeros(shp, jnp.float32)
+                spz = jnp.zeros(shp, jnp.float32)
+                snx_ = jnp.zeros(shp, jnp.float32)
+                sny_ = jnp.ones(shp, jnp.float32)
+                snz_ = jnp.zeros(shp, jnp.float32)
+                s_pd = jnp.ones(shp, jnp.float32)
+                e_r = jnp.zeros(shp, jnp.float32)
+                e_g = jnp.zeros(shp, jnp.float32)
+                e_b = jnp.zeros(shp, jnp.float32)
+                cullm = jnp.full(shp, False)
+                sq = jnp.sqrt(u1)
+                for e in range(n_em):
+                    on = sel == e
+                    row = em_ref[e, 1].astype(jnp.int32)
+                    sel_p = em_ref[e, 2]
+                    # Triangle surface sample, sqrt warp
+                    # (ref: object.cpp:192-207). Emissive spheres are not
+                    # supported by the megakernel (fallback handles them).
+                    for k in range(n_tri):
+                        onk = on & (row == k)
+                        w1 = 1.0 - sq
+                        w2 = sq * (1.0 - u2)
+                        w3 = sq * u2
+                        cx = (w1 * tri_ref[k, 0]
+                              + w2 * (tri_ref[k, 0] + tri_ref[k, 3])
+                              + w3 * (tri_ref[k, 0] + tri_ref[k, 6]))
+                        cy = (w1 * tri_ref[k, 1]
+                              + w2 * (tri_ref[k, 1] + tri_ref[k, 4])
+                              + w3 * (tri_ref[k, 1] + tri_ref[k, 7]))
+                        cz = (w1 * tri_ref[k, 2]
+                              + w2 * (tri_ref[k, 2] + tri_ref[k, 5])
+                              + w3 * (tri_ref[k, 2] + tri_ref[k, 8]))
+                        spx = jnp.where(onk, cx, spx)
+                        spy = jnp.where(onk, cy, spy)
+                        spz = jnp.where(onk, cz, spz)
+                        # geometric (face) normal of the emitter
+                        fnx = (tri_ref[k, 4] * tri_ref[k, 8]
+                               - tri_ref[k, 5] * tri_ref[k, 7])
+                        fny = (tri_ref[k, 5] * tri_ref[k, 6]
+                               - tri_ref[k, 3] * tri_ref[k, 8])
+                        fnz = (tri_ref[k, 3] * tri_ref[k, 7]
+                               - tri_ref[k, 4] * tri_ref[k, 6])
+                        area2 = jnp.sqrt(fnx * fnx + fny * fny + fnz * fnz)
+                        invn = 1.0 / jnp.maximum(area2, 1e-30)
+                        snx_ = jnp.where(onk, fnx * invn, snx_)
+                        sny_ = jnp.where(onk, fny * invn, sny_)
+                        snz_ = jnp.where(onk, fnz * invn, snz_)
+                        area = area2 * 0.5
+                        s_pd = jnp.where(
+                            onk, sel_p / jnp.maximum(area, 1e-30), s_pd
+                        )
+                        cullm = cullm | (onk & (tri_ref[k, 9] > 0.5))
+                        mrow = tri_ref[k, 20].astype(jnp.int32)
+                        for m in range(n_mat):
+                            onm = onk & (mrow == m)
+                            e_r = jnp.where(onm, mat_ref[m, 7], e_r)
+                            e_g = jnp.where(onm, mat_ref[m, 8], e_g)
+                            e_b = jnp.where(onm, mat_ref[m, 9], e_b)
+                # Area -> solid angle conversion (ref: scene.cpp:280).
+                tlx = spx - pxp
+                tly = spy - pyp
+                tlz = spz - pzp
+                dist2 = tlx * tlx + tly * tly + tlz * tlz
+                invd = jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))
+                ldx, ldy, ldz = tlx * invd, tly * invd, tlz * invd
+                adot = jnp.abs(-(ldx * snx_ + ldy * sny_ + ldz * snz_))
+                lvalid = (adot > 0.0) & (dist2 > 0.0)
+                lvalid = lvalid & (
+                    (~cullm) | ((ldx * snx_ + ldy * sny_ + ldz * snz_) < 0.0)
+                )
+                lpd = s_pd * dist2 / jnp.maximum(adot, 1e-30)
+                out_r, out_g, out_b = nee_accumulate(
+                    spx, spy, spz, e_r, e_g, e_b, lpd, lvalid,
+                    out_r, out_g, out_b,
+                )
+
+            # Roulette bookkeeping (ref: worker.cpp:106-110).
+            bounce_pd = jnp.where(
+                hit,
+                jnp.where(do_bounce, bounce_pd * bpv, bounce_pd * (1.0 - bpv)),
+                bounce_pd,
+            )
+            cont = hit & do_bounce & (bounce_pd > _PD_CUTOFF)
+
+            # ---- Propagate (ref: propagation.cpp) -----------------------
+            u1 = _u01(shp)
+            u2 = _u01(shp)
+            ub = _u01(shp)
+
+            # Lambertian cosine sample.
+            fac = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+            cos_t = jnp.sqrt(u2)
+            ang = 2.0 * _PI * u1
+            lx_t = fac * jnp.cos(ang)
+            ly_t = fac * jnp.sin(ang)
+            p_lam = 2.0 * cos_t / (2.0 * _PI)
+            b1x, b1y, b1z, b2x, b2y, b2z = _tangent_frame(nx, ny, nz)
+            ldx_l = b1x * lx_t + b2x * ly_t + nx * cos_t
+            ldy_l = b1y * lx_t + b2y * ly_t + ny * cos_t
+            ldz_l = b1z * lx_t + b2z * ly_t + nz * cos_t
+
+            # Glass (Fresnel unpolarized; ref: propagation.cpp:64-160).
+            ray_dot = -(dx * nx + dy * ny + dz * nz)
+            entering = ray_dot >= 0.0
+            ri_l = jnp.where(entering, 1.0, ior)
+            ri_e = jnp.where(entering, ior, 1.0)
+            adot = jnp.abs(ray_dot)
+            sin_i = jnp.sqrt(jnp.maximum(1.0 - adot * adot, 0.0))
+            sin_t = ri_l / ri_e * sin_i
+            tir = sin_t >= 1.0
+            cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_t * sin_t, 0.0))
+            r_par = (ri_e * adot - ri_l * cos_tt) / (ri_e * adot + ri_l * cos_tt)
+            r_perp = (ri_l * adot - ri_e * cos_tt) / (ri_l * adot + ri_e * cos_tt)
+            rat = jnp.where(tir, 1.0, (r_par * r_par + r_perp * r_perp) * 0.5)
+            cos_tt = jnp.where(tir, 0.0, cos_tt)
+            refl = ub < rat
+            sgn = jnp.where(ray_dot < 0.0, -1.0, 1.0)
+            # reflect about n*sgn
+            ddn = dx * nx * sgn + dy * ny * sgn + dz * nz * sgn
+            rx = dx - 2.0 * ddn * nx * sgn
+            ry = dy - 2.0 * ddn * ny * sgn
+            rz = dz - 2.0 * ddn * nz * sgn
+            ratio = ri_l / ri_e
+            fx = dx * ratio + nx * (ratio * adot - cos_tt) * sgn
+            fy = dy * ratio + ny * (ratio * adot - cos_tt) * sgn
+            fz = dz * ratio + nz * (ratio * adot - cos_tt) * sgn
+            invf = jax.lax.rsqrt(fx * fx + fy * fy + fz * fz + 1e-30)
+            fx, fy, fz = fx * invf, fy * invf, fz * invf
+            gdx = jnp.where(refl, rx, fx)
+            gdy = jnp.where(refl, ry, fy)
+            gdz = jnp.where(refl, rz, fz)
+            ri_fac = (ri_e * ri_e) / (ri_l * ri_l)
+            fac_glass = jnp.where(refl, rat, ri_fac * (1.0 - rat))
+            p_glass = jnp.where(refl, rat, 1.0 - rat)
+
+            # Mirror (ref: propagation.cpp:180-204).
+            unaligned = (dx * nx + dy * ny + dz * nz) > 0.0
+            pass_through = one_way & unaligned
+            flip = (~one_way) & unaligned
+            msgn = jnp.where(flip, -1.0, 1.0)
+            mdn = dx * nx * msgn + dy * ny * msgn + dz * nz * msgn
+            mx = jnp.where(pass_through, dx, dx - 2.0 * mdn * nx * msgn)
+            my = jnp.where(pass_through, dy, dy - 2.0 * mdn * ny * msgn)
+            mz = jnp.where(pass_through, dz, dz - 2.0 * mdn * nz * msgn)
+
+            ndx = jnp.where(is_glass, gdx, jnp.where(is_mirror, mx, ldx_l))
+            ndy = jnp.where(is_glass, gdy, jnp.where(is_mirror, my, ldy_l))
+            ndz = jnp.where(is_glass, gdz, jnp.where(is_mirror, mz, ldz_l))
+            ray_factor = jnp.where(is_glass, fac_glass, 1.0)
+            ray_pd = jnp.where(is_glass, p_glass, jnp.where(is_mirror, 1.0, p_lam))
+
+            # Bounce eval (non-synthetic getSpectrum).
+            cos_n = jnp.maximum(nx * ndx + ny * ndy + nz * ndz, 0.0)
+            shade_l = cos_n / _PI
+            same_side = (dx * ndx + dy * ndy + dz * ndz) <= 0.0
+            gl_r = jnp.where(same_side, ms_r, md_r)
+            gl_g = jnp.where(same_side, ms_g, md_g)
+            gl_b = jnp.where(same_side, ms_b, md_b)
+            mm = (~one_way) | same_side
+            mi_r = jnp.where(mm, ms_r, 1.0)
+            mi_g = jnp.where(mm, ms_g, 1.0)
+            mi_b = jnp.where(mm, ms_b, 1.0)
+            mult_r = jnp.where(is_glass, gl_r, jnp.where(is_mirror, mi_r, md_r))
+            mult_g = jnp.where(is_glass, gl_g, jnp.where(is_mirror, mi_g, md_g))
+            mult_b = jnp.where(is_glass, gl_b, jnp.where(is_mirror, mi_b, md_b))
+            shading = jnp.where(is_spec, 1.0, shade_l)
+            shading_pd = jnp.float32(1.0)
+
+            divisor_new = divisor * (ray_pd / jnp.maximum(ray_factor, 1e-30)) * (
+                shading_pd / jnp.maximum(shading, 1e-30)
+            )
+            divisor = jnp.where(cont, divisor_new, divisor)
+            contrib_unw = jnp.where(
+                cont, contrib_unw * ray_factor * shading, contrib_unw
+            )
+            sr = jnp.where(cont, mult_r * sr, sr)
+            sg = jnp.where(cont, mult_g * sg, sg)
+            sb = jnp.where(cont, mult_b * sb, sb)
+
+            alive = cont & (divisor > _PD_CUTOFF)
+            ox = jnp.where(alive, pxp + ndx * epsilon, ox)
+            oy = jnp.where(alive, pyp + ndy * epsilon, oy)
+            oz = jnp.where(alive, pzp + ndz * epsilon, oz)
+            dx = jnp.where(alive, ndx, dx)
+            dy = jnp.where(alive, ndy, dy)
+            dz = jnp.where(alive, ndz, dz)
+
+            return (ox, oy, oz, dx, dy, dz, sr, sg, sb,
+                    out_r, out_g, out_b,
+                    divisor, bounce_pd, contrib_unw, collected, alive)
+
+        ones = jnp.ones(shp, jnp.float32)
+        zeros = jnp.zeros(shp, jnp.float32)
+        false = jnp.full(shp, False)
+        st = (ox_ref[:], oy_ref[:], oz_ref[:],
+              dx_ref[:], dy_ref[:], dz_ref[:],
+              ones, ones, ones, zeros, zeros, zeros,
+              ones, ones, ones, false, ~false)
+        st = jax.lax.fori_loop(0, max_depth, body, st)
+
+        collected = st[15]
+        r_out[:] = st[9]
+        g_out[:] = st[10]
+        b_out[:] = st[11]
+        coll_out[:] = collected.astype(jnp.float32)
+
+    return kernel
+
+
+def megakernel_supported(scene: SceneData) -> bool:
+    if scene.tri_v0.shape[0] > _MAX_TRI or scene.n_sph > _MAX_SPH:
+        return False
+    # Emissive spheres are not handled in-kernel.
+    if scene.n_emissive > 0:
+        em = np.asarray(scene.emissive_prim[: scene.n_emissive])
+        if (em >= scene.n_tri).any():
+            return False
+    return True
+
+
+def _pack_tables(scene: SceneData):
+    tri_v0 = np.asarray(scene.tri_v0)
+    n_rows = tri_v0.shape[0]
+    tri = np.zeros((n_rows, _TRI_COLS), np.float32)
+    tri[:, 0:3] = tri_v0
+    tri[:, 3:6] = np.asarray(scene.tri_v1) - tri_v0
+    tri[:, 6:9] = np.asarray(scene.tri_v2) - tri_v0
+    tri[:, 9] = np.asarray(scene.tri_cull)
+    tri[:, 10] = np.asarray(scene.tri_valid)
+    tri[:, 11:14] = np.asarray(scene.tri_n0)
+    tri[:, 14:17] = np.asarray(scene.tri_n1)
+    tri[:, 17:20] = np.asarray(scene.tri_n2)
+    tri[:, 20] = np.asarray(scene.tri_material)
+
+    s_rows = np.asarray(scene.sph_center).shape[0]
+    sph = np.zeros((s_rows, _SPH_COLS), np.float32)
+    sph[:, 0:3] = np.asarray(scene.sph_center)
+    sph[:, 3] = np.asarray(scene.sph_radius)
+    sph[:, 4] = np.asarray(scene.sph_valid)
+    sph[:, 5] = np.asarray(scene.sph_material)
+
+    m_rows = scene.num_materials
+    mat = np.zeros((m_rows, _MAT_COLS), np.float32)
+    mat[:, 0:3] = np.asarray(scene.mat_diffuse)[:, :3]
+    mat[:, 3:6] = np.asarray(scene.mat_specular)[:, :3]
+    mat[:, 6] = np.asarray(scene.mat_ior)
+    mat[:, 7:10] = np.asarray(scene.mat_emission)[:, :3]
+    mat[:, 10] = np.asarray(scene.mat_bsdf)
+    mat[:, 11] = np.asarray(scene.mat_one_way)
+
+    l_rows = max(scene.n_point_lights, 1)
+    lgt = np.zeros((l_rows, _LGT_COLS), np.float32)
+    if scene.n_point_lights:
+        lgt[: scene.n_point_lights, 0:3] = np.asarray(scene.light_pos)[
+            : scene.n_point_lights
+        ]
+        lgt[: scene.n_point_lights, 3:6] = np.asarray(scene.light_spectrum)[
+            : scene.n_point_lights, :3
+        ]
+
+    e_rows = max(scene.n_emissive, 1)
+    em = np.zeros((e_rows, _EM_COLS), np.float32)
+    if scene.n_emissive:
+        cdf = np.asarray(scene.emissive_cdf)[: scene.n_emissive]
+        em[: scene.n_emissive, 0] = cdf
+        em[: scene.n_emissive, 1] = np.asarray(scene.emissive_prim)[
+            : scene.n_emissive
+        ]
+        # selection probability * K (ref: scene.cpp:250-255).
+        prob = np.diff(np.concatenate([[0.0], cdf]))
+        em[: scene.n_emissive, 2] = prob * scene.emissive_sample_count
+    return tuple(jnp.asarray(x) for x in (tri, sph, mat, lgt, em))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
+                     "max_depth", "epsilon"),
+)
+def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
+               em_k, max_depth, epsilon):
+    tri, sph, mat, lgt, em = tables
+    rows = comps[0].shape[0]
+    grid = (rows // _BLOCK_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (_BLOCK_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
+    kernel = _make_megakernel(
+        n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem((1,)),
+            smem(tri.shape), smem(sph.shape), smem(mat.shape),
+            smem(lgt.shape), smem(em.shape),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+            for _ in range(4)
+        ],
+    )(seed, tri, sph, mat, lgt, em, *comps)
+
+
+def trace_megakernel(
+    scene: SceneData,
+    rays,
+    options: RenderOptions,
+    seed,
+    tables=None,
+):
+    """Full-path trace of a ray batch via the megakernel.
+
+    rays: Rays with [R,3] origin/direction. seed: int32 scalar (NOT a
+    threefry key — the kernel uses the TPU per-core PRNG). Returns
+    (spectrum [R,4] with alpha=collected, collected [R] bool).
+    """
+    if tables is None:
+        tables = _pack_tables(scene)
+    o = rays.origin
+    d = rays.direction
+    r = o.shape[0]
+    block = _BLOCK_ROWS * _LANES
+    pad = (-r) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+    rows = (r + pad) // _LANES
+    comps = [arr[:, j].reshape(rows, _LANES) for arr in (o, d) for j in range(3)]
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    out_r, out_g, out_b, coll = _mega_call(
+        tables, seed_arr, comps,
+        n_tri=int(scene.tri_v0.shape[0]), n_sph=int(scene.sph_center.shape[0]),
+        n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
+        n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
+        max_depth=int(options.max_depth), epsilon=float(options.epsilon),
+    )
+    coll = coll.reshape(-1)[:r] > 0.5
+    spectrum = jnp.stack(
+        [
+            out_r.reshape(-1)[:r],
+            out_g.reshape(-1)[:r],
+            out_b.reshape(-1)[:r],
+            coll.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    return spectrum, coll
