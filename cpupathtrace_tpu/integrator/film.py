@@ -59,6 +59,27 @@ def adaptive_constants(options: RenderOptions):
     return stats, candidate_batch, check
 
 
+def _dispatch_trace(scene, rays, options, key, differentiable):
+    """Forward traces on TPU go through the Pallas megakernel when the scene
+    fits its dense tables (the whole path loop runs on-chip, ~100x less HBM
+    traffic); gradients and large scenes use the jnp wavefront."""
+    import os
+
+    from ..ops.intersect import _on_tpu
+
+    if (
+        not differentiable
+        and _on_tpu()
+        and os.environ.get("PTX_NO_MEGAKERNEL") != "1"
+    ):
+        from .pallas_megakernel import megakernel_supported, trace_megakernel
+
+        if megakernel_supported(scene):
+            seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+            return trace_megakernel(scene, rays, options, seed)
+    return trace(scene, rays, options, key, differentiable)
+
+
 @partial(jax.jit, static_argnames=("options", "spp", "differentiable"))
 def render_chunk(
     scene: SceneData,
@@ -78,7 +99,9 @@ def render_chunk(
     rays = shoot_rays(
         camera, xs, ys, 1.0 / options.image_width, 1.0 / options.image_height, k_cam
     )
-    spectrum, collected = trace(scene, rays, options, k_trace, differentiable)
+    spectrum, collected = _dispatch_trace(
+        scene, rays, options, k_trace, differentiable
+    )
     spectrum = spectrum.reshape(spp, p, 4)
     collected = collected.reshape(spp, p)
     return (

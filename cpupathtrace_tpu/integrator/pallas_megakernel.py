@@ -59,10 +59,34 @@ _LGT_COLS = 8
 _EM_COLS = 4
 
 
-def _u01(shape):
-    """Uniform [0,1) from the per-core PRNG."""
-    bits = pltpu.prng_random_bits(shape)
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+def _seed_rng(seed, shape):
+    """Per-lane xorshift32 state (the TPU-native analog of the reference's
+    per-thread xorshift engines, ref: base.h:24-42 + worker.cpp:369-382).
+    A software generator keeps the kernel portable across interpret mode
+    and hardware (pltpu.prng_random_bits has no interpret implementation).
+    Seeded by a multiply-xor hash of (seed, row, lane)."""
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    s = (
+        seed.astype(jnp.uint32) * jnp.uint32(2654435761)
+        ^ (row * jnp.uint32(40503) + jnp.uint32(0x9E3779B9))
+        ^ (lane * jnp.uint32(2246822519) + jnp.uint32(0x85EBCA6B))
+    )
+    # Mix once and forbid the all-zero state.
+    s = s ^ (s >> jnp.uint32(16))
+    s = s * jnp.uint32(2246822519)
+    return s | jnp.uint32(1)
+
+
+def _next_u01(state):
+    """Advance xorshift32; returns (state, uniform [0,1))."""
+    state = state ^ (state << jnp.uint32(13))
+    state = state ^ (state >> jnp.uint32(17))
+    state = state ^ (state << jnp.uint32(5))
+    u = (state >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+    return state, u
 
 
 def _intersect_tables(tri_ref, sph_ref, n_tri, n_sph,
@@ -189,12 +213,11 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                r_out, g_out, b_out, coll_out):
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(1000003))
-
         shp = ox_ref.shape
+        rng0 = _seed_rng(seed_ref[0] + pid * jnp.int32(1000003), shp)
 
         def body(depth, st):
-            (ox, oy, oz, dx, dy, dz,
+            (rng, ox, oy, oz, dx, dy, dz,
              sr, sg, sb, out_r, out_g, out_b,
              divisor, bounce_pd, contrib_unw, collected, alive) = st
 
@@ -236,7 +259,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 jnp.float32(1.0),
                 0.1 + 0.1 * jnp.minimum(contrib_unw * mean_s, 1.0),
             )
-            u_rt = _u01(shp)
+            rng, u_rt = _next_u01(rng)
             do_bounce = u_rt < bpv
 
             # ---- Next-event estimation ----------------------------------
@@ -277,9 +300,9 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 )
 
             for _ in range(em_k):
-                rsel = _u01(shp)
-                u1 = _u01(shp)
-                u2 = _u01(shp)
+                rng, rsel = _next_u01(rng)
+                rng, u1 = _next_u01(rng)
+                rng, u2 = _next_u01(rng)
                 # CDF selection over emissive rows (ref: scene.cpp:238-257).
                 sel = jnp.full(shp, n_em - 1, jnp.int32)
                 for e in range(n_em - 1, -1, -1):
@@ -371,9 +394,9 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             cont = hit & do_bounce & (bounce_pd > _PD_CUTOFF)
 
             # ---- Propagate (ref: propagation.cpp) -----------------------
-            u1 = _u01(shp)
-            u2 = _u01(shp)
-            ub = _u01(shp)
+            rng, u1 = _next_u01(rng)
+            rng, u2 = _next_u01(rng)
+            rng, ub = _next_u01(rng)
 
             # Lambertian cosine sample.
             fac = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
@@ -473,23 +496,23 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             dy = jnp.where(alive, ndy, dy)
             dz = jnp.where(alive, ndz, dz)
 
-            return (ox, oy, oz, dx, dy, dz, sr, sg, sb,
+            return (rng, ox, oy, oz, dx, dy, dz, sr, sg, sb,
                     out_r, out_g, out_b,
                     divisor, bounce_pd, contrib_unw, collected, alive)
 
         ones = jnp.ones(shp, jnp.float32)
         zeros = jnp.zeros(shp, jnp.float32)
         false = jnp.full(shp, False)
-        st = (ox_ref[:], oy_ref[:], oz_ref[:],
+        st = (rng0, ox_ref[:], oy_ref[:], oz_ref[:],
               dx_ref[:], dy_ref[:], dz_ref[:],
               ones, ones, ones, zeros, zeros, zeros,
               ones, ones, ones, false, ~false)
         st = jax.lax.fori_loop(0, max_depth, body, st)
 
-        collected = st[15]
-        r_out[:] = st[9]
-        g_out[:] = st[10]
-        b_out[:] = st[11]
+        collected = st[16]
+        r_out[:] = st[10]
+        g_out[:] = st[11]
+        b_out[:] = st[12]
         coll_out[:] = collected.astype(jnp.float32)
 
     return kernel

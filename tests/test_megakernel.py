@@ -1,0 +1,77 @@
+"""Megakernel tests (interpret mode on CPU — slow, statistical).
+
+The Pallas megakernel runs the full estimator on-chip; these tests verify
+statistical parity with the jnp wavefront (`trace`), which is itself
+parity-tested against the C++ reference (test_parity.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpupathtrace_tpu.core.config import RenderOptions
+from cpupathtrace_tpu.core.rays import Rays
+from cpupathtrace_tpu.integrator.wavefront import trace
+from tests.scenes_util import inward_box_scene
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = pltpu.InterpretParams()
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.zeros((n, 3))
+    d = rng.normal(size=(n, 3))
+    d[:, 2] = np.abs(d[:, 2]) + 0.2
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Rays(o, jnp.asarray(d, jnp.float32))
+
+
+@pytest.mark.slow
+def test_megakernel_supported():
+    from cpupathtrace_tpu.integrator.pallas_megakernel import megakernel_supported
+
+    assert megakernel_supported(inward_box_scene())
+
+
+@pytest.mark.slow
+def test_megakernel_statistical_parity():
+    from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
+
+    scene = inward_box_scene()
+    rays = _rays(2048)
+    opts = RenderOptions(8, 8, 1, 1, max_depth=4)
+    sp_ref, coll_ref = trace(scene, rays, opts, jax.random.PRNGKey(0))
+    sp_mk, coll_mk = trace_megakernel(scene, rays, opts, 1234)
+    np.testing.assert_array_equal(np.asarray(coll_ref), np.asarray(coll_mk))
+    a = float(np.asarray(sp_ref[:, :3]).mean())
+    b = float(np.asarray(sp_mk[:, :3]).mean())
+    assert abs(a - b) / max(a, b) < 0.15, (a, b)
+    # Medians agree tighter (firefly-immune).
+    ma = float(np.median(np.asarray(sp_ref[:, :3])))
+    mb = float(np.median(np.asarray(sp_mk[:, :3])))
+    assert abs(ma - mb) / max(ma, mb) < 0.15, (ma, mb)
+
+
+@pytest.mark.slow
+def test_megakernel_deterministic():
+    from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
+
+    scene = inward_box_scene()
+    rays = _rays(512)
+    opts = RenderOptions(8, 8, 1, 1, max_depth=3)
+    a, _ = trace_megakernel(scene, rays, opts, 7)
+    b, _ = trace_megakernel(scene, rays, opts, 7)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c, _ = trace_megakernel(scene, rays, opts, 8)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
