@@ -519,68 +519,77 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
 
 
 def megakernel_supported(scene: SceneData) -> bool:
+    """Static (trace-safe) check: dense tables fit and all emitters are
+    triangles (emissive spheres fall back to the jnp wavefront)."""
     if scene.tri_v0.shape[0] > _MAX_TRI or scene.n_sph > _MAX_SPH:
         return False
-    # Emissive spheres are not handled in-kernel.
-    if scene.n_emissive > 0:
-        em = np.asarray(scene.emissive_prim[: scene.n_emissive])
-        if (em >= scene.n_tri).any():
-            return False
-    return True
+    return scene.emissive_all_tri
 
 
 def _pack_tables(scene: SceneData):
-    tri_v0 = np.asarray(scene.tri_v0)
+    """jnp packing of the SMEM tables — trace-safe (XLA hoists the tiny
+    assembly when the scene is a constant and fuses it when traced)."""
+    f32 = jnp.float32
+    tri_v0 = scene.tri_v0
     n_rows = tri_v0.shape[0]
-    tri = np.zeros((n_rows, _TRI_COLS), np.float32)
-    tri[:, 0:3] = tri_v0
-    tri[:, 3:6] = np.asarray(scene.tri_v1) - tri_v0
-    tri[:, 6:9] = np.asarray(scene.tri_v2) - tri_v0
-    tri[:, 9] = np.asarray(scene.tri_cull)
-    tri[:, 10] = np.asarray(scene.tri_valid)
-    tri[:, 11:14] = np.asarray(scene.tri_n0)
-    tri[:, 14:17] = np.asarray(scene.tri_n1)
-    tri[:, 17:20] = np.asarray(scene.tri_n2)
-    tri[:, 20] = np.asarray(scene.tri_material)
-
-    s_rows = np.asarray(scene.sph_center).shape[0]
-    sph = np.zeros((s_rows, _SPH_COLS), np.float32)
-    sph[:, 0:3] = np.asarray(scene.sph_center)
-    sph[:, 3] = np.asarray(scene.sph_radius)
-    sph[:, 4] = np.asarray(scene.sph_valid)
-    sph[:, 5] = np.asarray(scene.sph_material)
-
+    tri = jnp.concatenate(
+        [
+            tri_v0,
+            scene.tri_v1 - tri_v0,
+            scene.tri_v2 - tri_v0,
+            scene.tri_cull.astype(f32)[:, None],
+            scene.tri_valid.astype(f32)[:, None],
+            scene.tri_n0, scene.tri_n1, scene.tri_n2,
+            scene.tri_material.astype(f32)[:, None],
+            jnp.zeros((n_rows, _TRI_COLS - 21), f32),
+        ],
+        axis=1,
+    )
+    s_rows = scene.sph_center.shape[0]
+    sph = jnp.concatenate(
+        [
+            scene.sph_center,
+            scene.sph_radius[:, None],
+            scene.sph_valid.astype(f32)[:, None],
+            scene.sph_material.astype(f32)[:, None],
+            jnp.zeros((s_rows, _SPH_COLS - 6), f32),
+        ],
+        axis=1,
+    )
     m_rows = scene.num_materials
-    mat = np.zeros((m_rows, _MAT_COLS), np.float32)
-    mat[:, 0:3] = np.asarray(scene.mat_diffuse)[:, :3]
-    mat[:, 3:6] = np.asarray(scene.mat_specular)[:, :3]
-    mat[:, 6] = np.asarray(scene.mat_ior)
-    mat[:, 7:10] = np.asarray(scene.mat_emission)[:, :3]
-    mat[:, 10] = np.asarray(scene.mat_bsdf)
-    mat[:, 11] = np.asarray(scene.mat_one_way)
-
-    l_rows = max(scene.n_point_lights, 1)
-    lgt = np.zeros((l_rows, _LGT_COLS), np.float32)
-    if scene.n_point_lights:
-        lgt[: scene.n_point_lights, 0:3] = np.asarray(scene.light_pos)[
-            : scene.n_point_lights
-        ]
-        lgt[: scene.n_point_lights, 3:6] = np.asarray(scene.light_spectrum)[
-            : scene.n_point_lights, :3
-        ]
-
-    e_rows = max(scene.n_emissive, 1)
-    em = np.zeros((e_rows, _EM_COLS), np.float32)
-    if scene.n_emissive:
-        cdf = np.asarray(scene.emissive_cdf)[: scene.n_emissive]
-        em[: scene.n_emissive, 0] = cdf
-        em[: scene.n_emissive, 1] = np.asarray(scene.emissive_prim)[
-            : scene.n_emissive
-        ]
-        # selection probability * K (ref: scene.cpp:250-255).
-        prob = np.diff(np.concatenate([[0.0], cdf]))
-        em[: scene.n_emissive, 2] = prob * scene.emissive_sample_count
-    return tuple(jnp.asarray(x) for x in (tri, sph, mat, lgt, em))
+    mat = jnp.concatenate(
+        [
+            scene.mat_diffuse[:, :3],
+            scene.mat_specular[:, :3],
+            scene.mat_ior[:, None],
+            scene.mat_emission[:, :3],
+            scene.mat_bsdf.astype(f32)[:, None],
+            scene.mat_one_way.astype(f32)[:, None],
+        ],
+        axis=1,
+    )
+    l_rows = scene.light_pos.shape[0]
+    lgt = jnp.concatenate(
+        [
+            scene.light_pos,
+            scene.light_spectrum[:, :3],
+            jnp.zeros((l_rows, _LGT_COLS - 6), f32),
+        ],
+        axis=1,
+    )
+    e_rows = scene.emissive_cdf.shape[0]
+    cdf = scene.emissive_cdf
+    prob = jnp.diff(jnp.concatenate([jnp.zeros(1, f32), cdf]))
+    em = jnp.stack(
+        [
+            cdf,
+            scene.emissive_prim.astype(f32),
+            prob * float(scene.emissive_sample_count),
+            jnp.zeros(e_rows, f32),
+        ],
+        axis=1,
+    )
+    return tri, sph, mat, lgt, em
 
 
 @functools.partial(

@@ -49,7 +49,7 @@ BSDF_MIRROR = 2
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
-        "cluster_size",
+        "cluster_size", "emissive_all_tri",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +122,9 @@ class SceneData:
     bvh_depth: int
     cl_depth: int
     cluster_size: int
+    # True when every emissive primitive is a triangle (static; used by the
+    # megakernel dispatch, which handles emissive triangles only).
+    emissive_all_tri: bool
 
     @property
     def use_bvh(self) -> bool:
@@ -381,6 +384,7 @@ class SceneBuilder:
             emissive_sample_count=emissive_sample_count,
             accel=accel,
             bvh_depth=int(bvh.depth),
+            emissive_all_tri=bool(all(int(x) < n_tri for x in em_prims)),
             cl_depth=int(cl_depth),
             cluster_size=int(cluster_size),
         )
