@@ -83,9 +83,10 @@ def _next_u01(state):
     state = state ^ (state << jnp.uint32(13))
     state = state ^ (state >> jnp.uint32(17))
     state = state ^ (state << jnp.uint32(5))
-    u = (state >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-        1.0 / (1 << 24)
-    )
+    # Mosaic has no uint32->float32 cast; the 24-bit value is sign-safe as
+    # int32, so bitcast then convert.
+    u24 = jax.lax.bitcast_convert_type(state >> jnp.uint32(8), jnp.int32)
+    u = u24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
     return state, u
 
 
@@ -217,9 +218,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
         rng0 = _seed_rng(seed_ref[0] + pid * jnp.int32(1000003), shp)
 
         def body(depth, st):
+            # Masks ride the carry as f32 (Mosaic cannot carry i1 vectors
+            # through scf.for).
             (rng, ox, oy, oz, dx, dy, dz,
              sr, sg, sb, out_r, out_g, out_b,
-             divisor, bounce_pd, contrib_unw, collected, alive) = st
+             divisor, bounce_pd, contrib_unw, collected_f, alive_f) = st
+            collected = collected_f > 0.5
+            alive = alive_f > 0.5
 
             bt, bp, nx, ny, nz, mid = _intersect_tables(
                 tri_ref, sph_ref, n_tri, n_sph, ox, oy, oz, dx, dy, dz, True
@@ -498,22 +503,22 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
 
             return (rng, ox, oy, oz, dx, dy, dz, sr, sg, sb,
                     out_r, out_g, out_b,
-                    divisor, bounce_pd, contrib_unw, collected, alive)
+                    divisor, bounce_pd, contrib_unw,
+                    jnp.where(collected, 1.0, 0.0),
+                    jnp.where(alive, 1.0, 0.0))
 
         ones = jnp.ones(shp, jnp.float32)
         zeros = jnp.zeros(shp, jnp.float32)
-        false = jnp.full(shp, False)
         st = (rng0, ox_ref[:], oy_ref[:], oz_ref[:],
               dx_ref[:], dy_ref[:], dz_ref[:],
               ones, ones, ones, zeros, zeros, zeros,
-              ones, ones, ones, false, ~false)
+              ones, ones, ones, zeros, ones)
         st = jax.lax.fori_loop(0, max_depth, body, st)
 
-        collected = st[16]
         r_out[:] = st[10]
         g_out[:] = st[11]
         b_out[:] = st[12]
-        coll_out[:] = collected.astype(jnp.float32)
+        coll_out[:] = st[16]
 
     return kernel
 
