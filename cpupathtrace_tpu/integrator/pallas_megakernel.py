@@ -513,7 +513,21 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
               dx_ref[:], dy_ref[:], dz_ref[:],
               ones, ones, ones, zeros, zeros, zeros,
               ones, ones, ones, zeros, ones)
-        st = jax.lax.fori_loop(0, max_depth, body, st)
+
+        # Early exit once every lane in the block is dead: the roulette
+        # kills most paths by depth ~6, so running all max_depth iterations
+        # wastes ~4x (the reference's unbounded loop exits per ray;
+        # the block-wide any() is the SIMD analog).
+        def cond(carry):
+            depth, st = carry
+            # st[17] is alive_f (st[16] is collected_f).
+            return (depth < max_depth) & (jnp.max(st[17]) > 0.5)
+
+        def wbody(carry):
+            depth, st = carry
+            return depth + 1, body(depth, st)
+
+        _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(0), st))
 
         r_out[:] = st[10]
         g_out[:] = st[11]
