@@ -40,7 +40,7 @@ from ..core.config import RenderOptions
 _TRI_EPS = 1e-6
 _PD_CUTOFF = 1e-20
 _PI = 3.14159265358979323846
-_BLOCK_ROWS = 32
+_BLOCK_ROWS = 64
 _LANES = 128
 _MAX_TRI = 64
 _MAX_SPH = 8
