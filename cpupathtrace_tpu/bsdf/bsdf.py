@@ -1,5 +1,9 @@
 """Vectorized BSDFs: Lambertian, Glass (Fresnel), Mirror.
 
+(The reference also declares a `CombinedBSDF` (propagation.h:110-132) that is
+never defined or used anywhere in its codebase — a vestigial API, deliberately
+not reproduced.)
+
 The reference dispatches through virtual `BSDF` subclasses
 (ref: src/scene/propagation.cpp); here polymorphism becomes an integer type
 code per material and masked selects, so every lane takes the same (cheap)

@@ -109,3 +109,19 @@ def transform_points(mat4: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     h = jnp.concatenate([pts, ones], axis=-1)
     out = h @ mat4.T
     return out[..., :3] / out[..., 3:4]
+
+
+MAT3_IDENTITY = jnp.eye(3, dtype=jnp.float32)
+MAT4_IDENTITY = jnp.eye(4, dtype=jnp.float32)
+
+
+def mat3_vec(mat3: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Row-major 3x3 matrix times [..., 3] vectors
+    (ref: util/matrix.h:41-47 mat3::operator*)."""
+    return v @ mat3.T
+
+
+def transform_directions(mat4: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Apply only the linear (rotation/scale) part of a 4x4 transform to
+    direction vectors — no translation, no perspective divide."""
+    return dirs @ mat4[:3, :3].T
