@@ -75,3 +75,40 @@ def test_megakernel_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c, _ = trace_megakernel(scene, rays, opts, 8)
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+@pytest.mark.slow
+def test_megakernel_specular_parity():
+    """Glass + mirror paths through the megakernel agree with the wavefront
+    statistically (exercises Fresnel, TIR, Bernoulli choice, reflection,
+    one-way handling, specular-NEE opt-out)."""
+    from cpupathtrace_tpu.integrator.pallas_megakernel import (
+        megakernel_supported, trace_megakernel,
+    )
+    from cpupathtrace_tpu.scene.scene import BSDF_GLASS, BSDF_MIRROR, SceneBuilder
+    from cpupathtrace_tpu.scene.geometry import make_plane
+
+    b = SceneBuilder()
+    white = b.add_material(diffuse=(1, 1, 1, 1))
+    light = b.add_material(diffuse=(1, 1, 1, 1), emission=(1, 1, 1, 1))
+    glass = b.add_material(diffuse=(1, 1, 1, 1), ior=1.5, bsdf=BSDF_GLASS)
+    mirror = b.add_material(specular=(1, 1, 1, 1), bsdf=BSDF_MIRROR)
+    b.add_triangles(make_plane((1, -1, -1), (-1, -1, 1), True), white)
+    b.add_triangles(make_plane((-1, 1, -1), (1, 1, 1), True), white)
+    b.add_triangles(make_plane((-0.25, 0.99, -0.25), (0.25, 0.99, 0.25), True), light)
+    b.add_triangles(make_plane((-1, -1, -1), (1, 1, -1), True), white)
+    b.add_sphere((0.3, -0.4, 0.5), 0.3, glass)
+    b.add_sphere((-0.4, -0.5, 0.4), 0.25, mirror)
+    scene = b.build()
+    assert megakernel_supported(scene)
+
+    rays = _rays(4096, seed=3)
+    opts = RenderOptions(8, 8, 1, 1, max_depth=6)
+    sp_ref, coll_ref = trace(scene, rays, opts, jax.random.PRNGKey(0))
+    sp_mk, coll_mk = trace_megakernel(scene, rays, opts, 77)
+    np.testing.assert_array_equal(np.asarray(coll_ref), np.asarray(coll_mk))
+    a = float(np.median(np.asarray(sp_ref[:, :3])))
+    m = float(np.median(np.asarray(sp_mk[:, :3])))
+    assert abs(a - m) / max(a, m) < 0.2, (a, m)
+    # Both must be non-trivially lit.
+    assert a > 1e-4 and m > 1e-4
