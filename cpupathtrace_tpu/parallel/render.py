@@ -44,7 +44,13 @@ def _trace_shard(scene, camera, options, spp_local, differentiable, x, y, key):
         camera, xs, ys,
         1.0 / options.image_width, 1.0 / options.image_height, k_cam,
     )
-    spectrum, collected = trace(scene, rays, options, k_trace, differentiable)
+    # Same dispatch as the single-chip path: forward traces on TPU use the
+    # Pallas megakernel per shard when the scene fits its dense tables.
+    from ..integrator.film import _dispatch_trace
+
+    spectrum, collected = _dispatch_trace(
+        scene, rays, options, k_trace, differentiable
+    )
     spectrum = spectrum.reshape(spp_local, p, 4)
     collected = collected.reshape(spp_local, p)
     s = jnp.sum(jnp.where(collected[..., None], spectrum, 0.0), axis=0)
