@@ -69,7 +69,7 @@ def test_box_interior_parity():
     golden = read_golden("golden_box_32.raw")
     scene = inward_box_scene()
     cam = make_camera((0, 0, 0), (0, 0, 0.9), (0, 1, 0), 1.0, 1.0, 1.0)
-    ours = render_fixed(scene, cam, 32, 512)
+    ours = render_fixed(scene, cam, 32, 256)
     # Coverage identical: interior camera, every pixel hits.
     np.testing.assert_array_equal(ours[..., 3], golden[..., 3])
     # Radiance distribution parity (two reference runs agree to ~1e-3 on
@@ -87,7 +87,7 @@ def test_sphere_point_light_parity():
     b.add_sphere((0.0, 0.0, 0.6), 0.5)
     scene = b.build()
     cam = make_camera((0, 0, 0), (0, 0, 1), (0, 1, 0), 0.1, 1.0, 1.0)
-    ours = render_fixed(scene, cam, 32, 512)
+    ours = render_fixed(scene, cam, 32, 256)
     # Sphere silhouette: the alpha masks agree except possibly a 1-px rim
     # (sub-pixel jitter at the silhouette edge).
     diff = ours[..., 3] != golden[..., 3]
@@ -111,7 +111,7 @@ def test_dragon_box_parity():
     scene = bench_dragon_scene(dragon_tris=20000)
     assert scene.accel == "cluster"
     cam = bench_camera()
-    ours = render_fixed(scene, cam, 32, 256, seed=11, max_depth=32)
+    ours = render_fixed(scene, cam, 32, 128, seed=11, max_depth=32)
     # Coverage: camera outside the closed box; every pixel that hits in one
     # render hits in the other (deterministic geometry).
     np.testing.assert_array_equal(ours[..., 3], golden[..., 3])
