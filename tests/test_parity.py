@@ -69,7 +69,7 @@ def test_box_interior_parity():
     golden = read_golden("golden_box_32.raw")
     scene = inward_box_scene()
     cam = make_camera((0, 0, 0), (0, 0, 0.9), (0, 1, 0), 1.0, 1.0, 1.0)
-    ours = render_fixed(scene, cam, 32, 256)
+    ours = render_fixed(scene, cam, 32, 512)
     # Coverage identical: interior camera, every pixel hits.
     np.testing.assert_array_equal(ours[..., 3], golden[..., 3])
     # Radiance distribution parity (two reference runs agree to ~1e-3 on
