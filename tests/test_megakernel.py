@@ -49,8 +49,8 @@ def test_megakernel_statistical_parity():
     from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
 
     scene = inward_box_scene()
-    rays = _rays(2048)
-    opts = RenderOptions(8, 8, 1, 1, max_depth=4)
+    rays = _rays(1024)
+    opts = RenderOptions(8, 8, 1, 1, max_depth=3)
     sp_ref, coll_ref = trace(scene, rays, opts, jax.random.PRNGKey(0))
     sp_mk, coll_mk = trace_megakernel(scene, rays, opts, 1234)
     np.testing.assert_array_equal(np.asarray(coll_ref), np.asarray(coll_mk))
@@ -102,8 +102,8 @@ def test_megakernel_specular_parity():
     scene = b.build()
     assert megakernel_supported(scene)
 
-    rays = _rays(4096, seed=3)
-    opts = RenderOptions(8, 8, 1, 1, max_depth=6)
+    rays = _rays(2048, seed=3)
+    opts = RenderOptions(8, 8, 1, 1, max_depth=4)
     sp_ref, coll_ref = trace(scene, rays, opts, jax.random.PRNGKey(0))
     sp_mk, coll_mk = trace_megakernel(scene, rays, opts, 77)
     np.testing.assert_array_equal(np.asarray(coll_ref), np.asarray(coll_mk))
