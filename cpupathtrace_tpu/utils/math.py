@@ -111,8 +111,12 @@ def transform_points(mat4: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return out[..., :3] / out[..., 3:4]
 
 
-MAT3_IDENTITY = jnp.eye(3, dtype=jnp.float32)
-MAT4_IDENTITY = jnp.eye(4, dtype=jnp.float32)
+# numpy (not jnp): module import must not force device-backend
+# initialization; jnp ops accept numpy operands.
+import numpy as _np
+
+MAT3_IDENTITY = _np.eye(3, dtype=_np.float32)
+MAT4_IDENTITY = _np.eye(4, dtype=_np.float32)
 
 
 def mat3_vec(mat3: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
