@@ -317,7 +317,7 @@ def cluster_intersect(scene: SceneData, o, d):
     return jnp.where(hit, best_t, -1.0), best_prim
 
 
-_SWEEP_K = 8
+_SWEEP_K = 4
 
 
 def sweep_intersect(scene: SceneData, o, d, k: int = _SWEEP_K):

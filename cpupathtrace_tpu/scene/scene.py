@@ -204,7 +204,7 @@ class SceneBuilder:
         use_bvh: bool | None = None,
         dense_threshold: int = 128,
         accel: str | None = None,
-        cluster_size: int = 64,
+        cluster_size: int = 128,
     ) -> SceneData:
         """Pack the scene into SoA device arrays.
 
@@ -314,7 +314,9 @@ class SceneBuilder:
             elif use_bvh is False:
                 accel = "dense"
             else:
-                accel = "dense" if n_prims <= dense_threshold else "cluster"
+                # Measured on v5e: the dense-top sweep beats per-lane
+                # cluster traversal ~2-4x for large scenes (BASELINE.md).
+                accel = "dense" if n_prims <= dense_threshold else "sweep"
         if accel not in ("dense", "bvh", "cluster", "sweep"):
             raise ValueError(f"unknown accel {accel!r}")
         if accel in ("cluster", "sweep") and n_tri == 0:
