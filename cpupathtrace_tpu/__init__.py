@@ -33,6 +33,7 @@ from .integrator.film import render, render_chunk, render_tile
 from .integrator.wavefront import trace
 from .post import gamma_correct, post_process, tone_map
 from .utils.image_io import read_rgb_image, write_rgb_image
+from .integrator.checkpoint import render_resumable
 
 __version__ = "0.1.0"
 
@@ -46,4 +47,5 @@ __all__ = [
     "render", "render_chunk", "render_tile", "trace",
     "tone_map", "gamma_correct", "post_process",
     "read_rgb_image", "write_rgb_image",
+    "render_resumable",
 ]
