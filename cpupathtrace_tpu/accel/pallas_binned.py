@@ -44,6 +44,10 @@ def pack_blocks(scene: SceneData) -> jnp.ndarray:
     v2 = np.asarray(scene.blk_v2)
     cull = np.asarray(scene.blk_cull)
     prim = np.asarray(scene.blk_prim)
+    # Prim ids ride the kernel as f32: exact only below 2^24. Scenes beyond
+    # ~16.7M triangles must use an i32 id path (accel/pallas_traverse.py).
+    if prim.max(initial=0) >= 2**24:
+        raise ValueError("pallas_binned f32 prim ids require n_tri < 2**24")
     c, l, _ = v0.shape
     out = np.zeros((c, l, _COLS), np.float32)
     out[:, :, 0:3] = v0

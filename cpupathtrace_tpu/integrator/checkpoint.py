@@ -22,7 +22,19 @@ from ..core.config import RenderOptions
 from ..integrator.film import pixel_camera_coords, render_chunk
 from ..scene.scene import SceneData
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+
+
+def render_fingerprint(scene, camera) -> str:
+    """Digest of the scene + camera device arrays. Stored in checkpoint meta
+    so a resume against different render inputs is rejected instead of being
+    silently blended into the accumulation buffers."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for leaf in jax.tree_util.tree_leaves((scene, camera)):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return h.hexdigest()
 
 
 @dataclasses.dataclass
@@ -36,6 +48,7 @@ class FilmState:
     seed: int
     width: int
     height: int
+    fingerprint: str = ""
 
     def image(self) -> np.ndarray:
         """Current mean image [H, W, 4] (alpha = coverage)."""
@@ -58,6 +71,7 @@ def save_checkpoint(path: str, state: FilmState) -> None:
                 "seed": state.seed,
                 "width": state.width,
                 "height": state.height,
+                "fingerprint": state.fingerprint,
             }
         ),
     )
@@ -79,6 +93,7 @@ def load_checkpoint(path: str) -> FilmState:
             seed=meta["seed"],
             width=meta["width"],
             height=meta["height"],
+            fingerprint=meta.get("fingerprint", ""),
         )
 
 
@@ -98,7 +113,13 @@ def render_resumable(
     `fold_in(PRNGKey(seed), chunk_index)`, so resumed and uninterrupted
     renders are bit-identical."""
     w, h = options.image_width, options.image_height
-    n_chunks = max(spp // spp_chunk, 1)
+    # Ceil-division chunking: the final chunk is smaller when spp is not a
+    # multiple of spp_chunk, so exactly `spp` samples are rendered (the
+    # fixed-spp contract; a truncating division would silently drop the
+    # remainder). The smaller final chunk costs one extra jit specialization.
+    spp_chunk = min(spp_chunk, spp)
+    n_chunks = -(-spp // spp_chunk)
+    fingerprint = render_fingerprint(scene, camera)
 
     state = None
     if checkpoint_path and os.path.exists(checkpoint_path):
@@ -108,6 +129,11 @@ def render_resumable(
             or state.spp_chunk != spp_chunk or state.seed != seed
         ):
             raise ValueError("checkpoint is for a different render config")
+        if state.fingerprint and state.fingerprint != fingerprint:
+            raise ValueError(
+                "checkpoint was taken for a different scene/camera "
+                f"(fingerprint {state.fingerprint} != {fingerprint})"
+            )
     if state is None:
         state = FilmState(
             pixel_sum=np.zeros((w * h, 4), np.float64),
@@ -117,6 +143,7 @@ def render_resumable(
             seed=seed,
             width=w,
             height=h,
+            fingerprint=fingerprint,
         )
 
     xg, yg = np.meshgrid(
@@ -129,8 +156,9 @@ def render_resumable(
     base = jax.random.PRNGKey(seed)
     for c in range(state.chunks_done, n_chunks):
         key = jax.random.fold_in(base, c)
+        chunk = min(spp_chunk, spp - c * spp_chunk)
         s, cnt = render_chunk(
-            scene, camera, options, x_cam, y_cam, key, spp_chunk
+            scene, camera, options, x_cam, y_cam, key, chunk
         )
         state.pixel_sum += np.asarray(s, np.float64)
         state.sample_count += np.asarray(cnt, np.int64)

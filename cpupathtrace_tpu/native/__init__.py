@@ -25,14 +25,23 @@ _load_failed = False
 
 
 def _build() -> bool:
+    # Compile to a unique temp file and atomically move it into place so
+    # concurrent processes (pytest-xdist, parallel benchmarks) never dlopen a
+    # partially written library or clobber each other mid-compile.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -74,7 +83,8 @@ def get_lib():
         lib.ptx_parse_obj.restype = None
         lib.ptx_parse_obj.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ]
         _lib = lib
         return _lib
@@ -130,7 +140,7 @@ def parse_obj_native(text: bytes):
     verts = np.empty((nv.value, 3), np.float32)
     faces = np.empty((nf.value, 3), np.int64)
     lib.ptx_parse_obj(
-        text, n, _fptr(verts),
-        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        text, n, _fptr(verts), nv.value,
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nf.value,
     )
     return verts, faces

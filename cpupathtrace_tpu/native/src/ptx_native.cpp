@@ -189,13 +189,17 @@ void ptx_count_obj(const char* text, int64_t len, int64_t* n_verts,
     *n_faces = f;
 }
 
+// Space-only skip: MUST match ptx_count_obj's whitespace predicate (and the
+// reference's space-only eatSpace, ref: src/scene/mesh.cpp:31-36) so the
+// count pass and the parse pass agree on which lines are records. A tab- or
+// CR-indented line is neither counted nor parsed.
 static inline const char* skip_spaces(const char* p, const char* end) {
-    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) p++;
+    while (p < end && *p == ' ') p++;
     return p;
 }
 
 void ptx_parse_obj(const char* text, int64_t len, float* verts,
-                   int64_t* faces) {
+                   int64_t n_verts_cap, int64_t* faces, int64_t n_faces_cap) {
     const char* p = text;
     const char* end = text + len;
     int64_t vi = 0, fi = 0;
@@ -205,7 +209,11 @@ void ptx_parse_obj(const char* text, int64_t len, float* verts,
         if (!line_end) line_end = end;
         const char* q = skip_spaces(p, line_end);
         if (q + 1 < line_end && q[1] == ' ') {
-            if (*q == 'v') {
+            // Defense in depth: never write past the counted capacities even
+            // if the two passes ever disagree again.
+            if (*q == 'v' && vi >= n_verts_cap) {
+            } else if (*q == 'f' && fi >= n_faces_cap) {
+            } else if (*q == 'v') {
                 q += 2;
                 for (int c = 0; c < 3; c++) {
                     q = skip_spaces(q, line_end);

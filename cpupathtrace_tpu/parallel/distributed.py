@@ -57,7 +57,12 @@ def host_local_rows(height: int) -> tuple[int, int]:
 
 def gather_image(local_rows: np.ndarray, height: int) -> np.ndarray:
     """Gather per-host row blocks into the full image on every host via a
-    device all-gather (DCN across hosts, ICI within)."""
+    device all-gather (DCN across hosts, ICI within).
+
+    process_allgather requires identical shapes on every process, but
+    host_local_rows gives the last host fewer rows when height % p != 0 —
+    every host therefore pads its block to the common ceil(height/p) row
+    count before the gather and the result is trimmed back to `height`."""
     import jax.numpy as jnp
 
     p = jax.process_count()
@@ -65,6 +70,11 @@ def gather_image(local_rows: np.ndarray, height: int) -> np.ndarray:
         return local_rows
     from jax.experimental import multihost_utils
 
+    rows = -(-height // p)
+    if local_rows.shape[0] < rows:
+        pad = np.zeros((rows - local_rows.shape[0],) + local_rows.shape[1:],
+                       local_rows.dtype)
+        local_rows = np.concatenate([local_rows, pad], axis=0)
     return np.asarray(
         multihost_utils.process_allgather(jnp.asarray(local_rows))
     ).reshape(-1, *local_rows.shape[1:])[:height]
