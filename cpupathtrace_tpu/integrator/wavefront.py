@@ -88,7 +88,7 @@ def trace(
     def body(s):
         key, k_rt, k_nee, k_prop = jax.random.split(s["key"], 4)
 
-        t, prim = scene_intersect(scene, s["o"], s["d"])
+        t, prim = scene_intersect(scene, s["o"], s["d"], live=s["alive"])
         hit = s["alive"] & (t >= 0.0)
         prim_safe = jnp.maximum(prim, 0)
 
@@ -132,9 +132,19 @@ def trace(
             ldir = normalize(to_light)
             sh_o = (pos[:, None, :] + ldir * eps).reshape(-1, 3)
             sh_d = ldir.reshape(-1, 3)
-            lt, _ = scene_intersect(scene, sh_o, sh_d)
+            # Visibility query: any occluder strictly before the light
+            # blocks (ref: worker.cpp:84-86). t_max folds the old
+            # `lt >= dist - eps` pass-through into the query itself, and
+            # any_hit + the live mask let the binned path prune hard.
+            dist = length(to_light)
+            lt, _ = scene_intersect(
+                scene, sh_o, sh_d,
+                t_max=(dist - eps).reshape(-1),
+                live=(hit[:, None] & lights.valid).reshape(-1),
+                any_hit=True,
+            )
             lt = lt.reshape(n_rays, nl)
-            visible = (lt < 0.0) | (lt >= length(to_light) - eps)
+            visible = lt < 0.0
 
             mat_l = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(

@@ -154,7 +154,12 @@ def bench_camera() -> Camera:
     )
 
 
-def bench_dragon_scene(dragon_obj: str | None = None, dragon_tris: int = 200000) -> SceneData:
+def bench_dragon_scene(
+    dragon_obj: str | None = None,
+    dragon_tris: int = 200000,
+    accel: str | None = None,
+    cluster_size: int | None = None,
+) -> SceneData:
     """Box + glass dragon at scale 0.01, offset (0,-0.5,0)
     (ref: benchmark/main.cpp:59-105)."""
     b = SceneBuilder()
@@ -175,7 +180,7 @@ def bench_dragon_scene(dragon_obj: str | None = None, dragon_tris: int = 200000)
             standin_dragon_obj(dragon_tris), transform, cull_backface=False, smooth=True
         )
     b.add_triangles(tris, glass)
-    return b.build()
+    return b.build(accel=accel, cluster_size=cluster_size)
 
 
 def standin_dragon_obj(target_tris: int = 200000, seed: int = 7) -> str:

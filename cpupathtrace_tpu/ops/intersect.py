@@ -434,18 +434,42 @@ def _on_tpu() -> bool:
         return False
 
 
-def scene_intersect(scene: SceneData, o, d):
-    """Dispatch between the intersectors (static choice at trace time)."""
+def scene_intersect(scene: SceneData, o, d, t_max=None, live=None,
+                    any_hit: bool = False):
+    """Dispatch between the intersectors (static choice at trace time).
+
+    Optional query qualifiers (all intersectors honor the semantics; the
+    binned path also exploits them for pruning):
+      * t_max [R]: hits at t >= t_max are reported as misses (shadow rays)
+      * live [R] bool: lanes with live=False may return an arbitrary
+        result — callers pass their alive mask so dead lanes cost nothing
+      * any_hit: the returned hit need not be the nearest (visibility)
+    """
+    if scene.accel == "binned":
+        from ..accel.pallas_traverse import (
+            binned_intersect_ref,
+            binned_intersect_tpu,
+        )
+
+        fn = binned_intersect_tpu if _on_tpu() else binned_intersect_ref
+        return fn(scene, o, d, t_max=t_max, live=live, any_hit=any_hit)
+
     if scene.accel == "sweep":
-        return sweep_intersect(scene, o, d)
-    if scene.accel == "cluster":
-        return cluster_intersect(scene, o, d)
-    if scene.accel == "bvh":
-        return bvh_intersect(scene, o, d)
+        t, p = sweep_intersect(scene, o, d)
+    elif scene.accel == "cluster":
+        t, p = cluster_intersect(scene, o, d)
+    elif scene.accel == "bvh":
+        t, p = bvh_intersect(scene, o, d)
     # Dense: the Pallas kernel keeps the primitive tables in VMEM and cuts
     # HBM traffic ~200x vs the broadcast jnp formulation; TPU only.
-    if _on_tpu() and scene.tri_v0.shape[0] + scene.sph_center.shape[0] <= 256:
+    elif _on_tpu() and scene.tri_v0.shape[0] + scene.sph_center.shape[0] <= 256:
         from .pallas_intersect import dense_intersect_pallas
 
-        return dense_intersect_pallas(scene, o, d)
-    return dense_intersect(scene, o, d)
+        t, p = dense_intersect_pallas(scene, o, d)
+    else:
+        t, p = dense_intersect(scene, o, d)
+    if t_max is not None:
+        miss = (t < 0.0) | (t >= t_max)
+        t = jnp.where(miss, -1.0, t)
+        p = jnp.where(miss, -1, p)
+    return t, p

@@ -45,11 +45,13 @@ BSDF_MIRROR = 2
         "cl_lo", "cl_hi", "cl_left", "cl_right", "cl_leaf",
         "blk_v0", "blk_v1", "blk_v2", "blk_cull", "blk_prim",
         "blk_lo", "blk_hi",
+        "big_v0", "big_v1", "big_v2", "big_cull", "big_prim",
+        "root_lo", "root_hi", "trv_blocks", "trv_bounds",
     ],
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
-        "cluster_size", "emissive_all_tri",
+        "cluster_size", "emissive_all_tri", "n_big",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -112,16 +114,35 @@ class SceneData:
     blk_lo: jnp.ndarray  # [C, 3] cluster bounds (sweep intersector)
     blk_hi: jnp.ndarray  # [C, 3]
 
+    # Binned-traversal partition (accel="binned", accel/pallas_traverse.py):
+    # "big" triangles (AABB diagonal above a fraction of the scene diagonal —
+    # walls, ground planes) are dense-tested for every ray; only the small
+    # mesh triangles live in the cluster blocks, giving the cluster set a
+    # tight root AABB that most rays never enter.
+    big_v0: jnp.ndarray  # [B,3]
+    big_v1: jnp.ndarray  # [B,3]
+    big_v2: jnp.ndarray  # [B,3]
+    big_cull: jnp.ndarray  # [B] bool
+    big_prim: jnp.ndarray  # [B] i32 global tri index, -1 padding
+    root_lo: jnp.ndarray  # [3] cluster-set root bounds
+    root_hi: jnp.ndarray  # [3]
+    # Pre-packed Mosaic-layout traversal tables (accel/pallas_traverse.py):
+    # blocks [C, L//64, 8, 128] (64 tris x 16 comps per (8,128) tile) and
+    # bounds [C, 8] (lo3 hi3 pad2) for the SMEM candidate scan.
+    trv_blocks: jnp.ndarray
+    trv_bounds: jnp.ndarray
+
     # Static metadata (compile-time constants).
     n_tri: int
     n_sph: int
     n_point_lights: int
     n_emissive: int
     emissive_sample_count: int
-    accel: str  # "dense" | "bvh" | "cluster" | "sweep"
+    accel: str  # "dense" | "bvh" | "cluster" | "sweep" | "binned"
     bvh_depth: int
     cl_depth: int
     cluster_size: int
+    n_big: int
     # True when every emissive primitive is a triangle (static; used by the
     # megakernel dispatch, which handles emissive triangles only).
     emissive_all_tri: bool
@@ -204,16 +225,21 @@ class SceneBuilder:
         use_bvh: bool | None = None,
         dense_threshold: int = 128,
         accel: str | None = None,
-        cluster_size: int = 128,
+        cluster_size: int | None = None,
+        binned_threshold: int = 4096,
+        big_diag_frac: float = 0.05,
     ) -> SceneData:
         """Pack the scene into SoA device arrays.
 
         `accel` selects the intersector: "dense" (all rays x all prims,
         best for small scenes), "bvh" (per-primitive-leaf tree, the
-        reference layout), "cluster" (two-level cluster tree, the TPU-native
-        layout for large meshes). Default: dense below `dense_threshold`
-        primitives, cluster above. `use_bvh` (bool) is the legacy switch
-        mapping to "bvh"/"dense".
+        reference layout), "cluster" (two-level cluster tree), "sweep"
+        (dense-top candidate sweep), "binned" (bin-by-cluster Pallas
+        wavefront traversal — the TPU-native path for large meshes, see
+        docs/DESIGN_large_scenes.md). Default: dense below `dense_threshold`
+        primitives, binned above `binned_threshold` small triangles, sweep
+        in between. `use_bvh` (bool) is the legacy switch mapping to
+        "bvh"/"dense".
         """
         from ..accel.build import build_bvh
         from ..accel.cluster import build_cluster_bvh
@@ -308,18 +334,48 @@ class SceneBuilder:
         prim_hi = np.concatenate([hi_tri[:n_tri], hi_sph[:n_sph]], axis=0)
 
         n_prims = n_tri + n_sph
+
+        # Big/small triangle partition for the binned intersector: a
+        # triangle whose AABB diagonal exceeds big_diag_frac of the scene
+        # diagonal (walls, ground planes) is dense-tested per ray; small
+        # mesh triangles go into the cluster blocks so the cluster set has
+        # a tight root AABB that most rays never enter.
+        if n_tri > 0:
+            tri_diag = np.linalg.norm(hi_tri[:n_tri] - lo_tri[:n_tri], axis=1)
+            scene_lo = np.minimum(
+                lo_tri[:n_tri].min(axis=0),
+                lo_sph[:n_sph].min(axis=0) if n_sph else np.full(3, np.inf),
+            )
+            scene_hi = np.maximum(
+                hi_tri[:n_tri].max(axis=0),
+                hi_sph[:n_sph].max(axis=0) if n_sph else np.full(3, -np.inf),
+            )
+            scene_diag = float(np.linalg.norm(scene_hi - scene_lo))
+            big_mask = tri_diag > big_diag_frac * max(scene_diag, 1e-30)
+        else:
+            big_mask = np.zeros(0, bool)
+        n_small = int(n_tri - big_mask.sum())
+
         if accel is None:
             if use_bvh is True:
                 accel = "bvh"
             elif use_bvh is False:
                 accel = "dense"
+            elif n_prims <= dense_threshold:
+                accel = "dense"
+            elif n_small >= binned_threshold:
+                # Large mesh: bin-by-cluster Pallas traversal (the only
+                # path that wins on TPU at this scale; BASELINE.md).
+                accel = "binned"
             else:
-                # Measured on v5e: the dense-top sweep beats per-lane
-                # cluster traversal ~2-4x for large scenes (BASELINE.md).
-                accel = "dense" if n_prims <= dense_threshold else "sweep"
-        if accel not in ("dense", "bvh", "cluster", "sweep"):
+                # Mid-size: the dense-top sweep beats per-lane cluster
+                # traversal ~2-4x (measured on v5e, BASELINE.md).
+                accel = "sweep"
+        if accel not in ("dense", "bvh", "cluster", "sweep", "binned"):
             raise ValueError(f"unknown accel {accel!r}")
-        if accel in ("cluster", "sweep") and n_tri == 0:
+        if accel == "binned" and n_small < 64:
+            accel = "sweep"  # partition degenerate; candidate scan pointless
+        if accel in ("cluster", "sweep", "binned") and n_tri == 0:
             accel = "dense" if n_prims <= dense_threshold else "bvh"
 
         if n_prims > 0:
@@ -329,20 +385,47 @@ class SceneBuilder:
 
         # Cluster structure over triangles (spheres are dense-tested by the
         # cluster intersector; scenes are sphere-light in practice).
-        if accel in ("cluster", "sweep"):
+        # For "binned" only the small-triangle partition is clustered; for
+        # "cluster"/"sweep" every triangle is.
+        n_big = 0
+        big_idx = np.zeros(0, np.int64)
+        if accel == "binned":
+            small_idx = np.flatnonzero(~big_mask)
+            big_idx = np.flatnonzero(big_mask)
+            n_big = int(big_idx.shape[0])
+            if cluster_size is None:
+                # Balance the SMEM candidate scan (cost ~ n_clusters) against
+                # per-candidate streaming (cost ~ cluster_size); keep the
+                # cluster count in the hundreds (docs/DESIGN_large_scenes.md).
+                target = max(small_idx.shape[0] // 700, 128)
+                cluster_size = int(
+                    min(512, max(128, 1 << int(np.ceil(np.log2(target)))))
+                )
+            cluster_size = max(64, (cluster_size + 63) // 64 * 64)
+        elif accel in ("cluster", "sweep"):
+            small_idx = np.arange(n_tri)
+            if cluster_size is None:
+                cluster_size = 128  # v5e-tuned sweep default (BASELINE.md)
+        if accel in ("cluster", "sweep", "binned"):
             cl = build_cluster_bvh(
-                lo_tri[:n_tri], hi_tri[:n_tri], cluster_size=cluster_size
+                lo_tri[small_idx], hi_tri[small_idx], cluster_size=cluster_size
             )
             c = cl.members.shape[0]
-            blk_idx = np.maximum(cl.members, 0)
+            # Remap cluster members (small-set local) to global tri indices.
+            members = np.where(
+                cl.members >= 0, small_idx[np.maximum(cl.members, 0)], -1
+            ).astype(np.int32)
+            blk_idx = np.maximum(members, 0)
             blk_v0 = tri_v[0][blk_idx]
             blk_v1 = tri_v[1][blk_idx]
             blk_v2 = tri_v[2][blk_idx]
             blk_cull = tri_cull[blk_idx]
-            blk_prim = cl.members
+            blk_prim = members
             blk_lo, blk_hi = cl.c_lo, cl.c_hi
             cl_arrays = (cl.lo, cl.hi, cl.left, cl.right, cl.cluster)
             cl_depth = cl.depth
+            root_lo = lo_tri[small_idx].min(axis=0).astype(f32)
+            root_hi = hi_tri[small_idx].max(axis=0).astype(f32)
         else:
             blk_v0 = blk_v1 = blk_v2 = np.zeros((1, 1, 3), f32)
             blk_cull = np.zeros((1, 1), bool)
@@ -356,6 +439,32 @@ class SceneBuilder:
             )
             cl_depth = 1
             cluster_size = 1
+            root_lo = np.full(3, np.inf, f32)
+            root_hi = np.full(3, -np.inf, f32)
+
+        # Big-triangle dense set (binned only; empty rows otherwise).
+        bpad = max(n_big, 1)
+        big_v0 = np.zeros((bpad, 3), f32)
+        big_v1 = np.zeros((bpad, 3), f32)
+        big_v2 = np.zeros((bpad, 3), f32)
+        big_cull = np.zeros(bpad, bool)
+        big_prim = np.full(bpad, -1, np.int32)
+        if n_big:
+            big_v0[:n_big] = tri_v[0][big_idx]
+            big_v1[:n_big] = tri_v[1][big_idx]
+            big_v2[:n_big] = tri_v[2][big_idx]
+            big_cull[:n_big] = tri_cull[big_idx]
+            big_prim[:n_big] = big_idx
+
+        # Mosaic-layout traversal tables for the binned Pallas kernels.
+        if accel == "binned":
+            from ..accel.pallas_traverse import pack_blocks_np, pack_bounds_np
+
+            trv_blocks = pack_blocks_np(blk_v0, blk_v1, blk_v2, blk_cull, blk_prim)
+            trv_bounds = pack_bounds_np(blk_lo, blk_hi)
+        else:
+            trv_blocks = np.zeros((1, 1, 8, 128), f32)
+            trv_bounds = np.zeros((1, 8), f32)
 
         return SceneData(
             tri_v0=jnp.asarray(tri_v[0]), tri_v1=jnp.asarray(tri_v[1]), tri_v2=jnp.asarray(tri_v[2]),
@@ -380,6 +489,13 @@ class SceneBuilder:
             blk_v2=jnp.asarray(blk_v2), blk_cull=jnp.asarray(blk_cull),
             blk_prim=jnp.asarray(blk_prim),
             blk_lo=jnp.asarray(blk_lo), blk_hi=jnp.asarray(blk_hi),
+            big_v0=jnp.asarray(big_v0), big_v1=jnp.asarray(big_v1),
+            big_v2=jnp.asarray(big_v2), big_cull=jnp.asarray(big_cull),
+            big_prim=jnp.asarray(big_prim),
+            root_lo=jnp.asarray(root_lo), root_hi=jnp.asarray(root_hi),
+            trv_blocks=jnp.asarray(trv_blocks),
+            trv_bounds=jnp.asarray(trv_bounds),
+            n_big=n_big,
             n_tri=n_tri, n_sph=n_sph,
             n_point_lights=len(self._point_lights),
             n_emissive=n_emissive,
