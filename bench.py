@@ -1,49 +1,56 @@
-"""Benchmark: the reference's renderSceneBox workload on one TPU chip.
+"""Benchmarks: the reference's renderSceneBox and renderSceneDragonBox
+workloads on one TPU chip.
 
 Replicates benchmark/main.cpp:34-57 (closed 2x2x2 box, 12 wall tris + 2
-emissive ceiling tris, camera at (0,0,-3) aspect -1, 128x128 @ 256 spp
-fixed) and reports throughput in the reference's items-processed convention:
+emissive ceiling tris, camera at (0,0,-3) aspect -1, 128x128 @ 256 spp) and
+benchmark/main.cpp:59-105 (same box + the dragon mesh as glass IOR 1.5 —
+the upstream asset is a missing LFS blob, so the 200k-triangle procedural
+stand-in from models/scenes.py is used, identically in the C++ baseline
+measurement). Throughput uses the reference's items-processed convention:
 width * height * spp primary samples per second (benchmark/main.cpp:30).
 
-Baseline (vs_baseline denominator): the C++ reference compiled -O3 on this
-machine's 4-core CPU renders this workload at 0.883 Mrays/s (best of 3,
-measured 2026-08-16; see BASELINE.md).
+Baselines (vs_baseline denominators), measured on this machine's 4-core CPU
+with the reference compiled -O3 (BASELINE.md):
+  * renderSceneBox 128x128 @ 256 spp:        0.883 Mrays/s
+  * renderSceneDragonBox 128x128 @ 16 spp:   0.308 Mrays/s (200k stand-in)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per workload (the box metric last — the driver's
+headline). `--verify` additionally runs on-chip parity checks (megakernel
+vs jnp wavefront, binned traversal vs sweep) and reports pass/fail.
 """
+import argparse
 import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_CPU_MRAYS = 0.883
+import jax
+import jax.numpy as jnp
 
-WIDTH = HEIGHT = 128
-SPP = 256
-SPP_CHUNK = 64  # launches of W*H*SPP_CHUNK rays; film accumulates
+REFERENCE_CPU_BOX_MRAYS = 0.883
+REFERENCE_CPU_DRAGON_MRAYS = 0.308
+
+BOX_SIZE = 128
+BOX_SPP = 256
+BOX_SPP_CHUNK = 64
+DRAGON_SIZE = 128
+DRAGON_SPP = 16
+DRAGON_TRIS = 200000
 
 
-def main():
-    # Persistent compilation cache: the remote-compiled executable is reused
-    # across bench runs (first compile of the wavefront takes minutes).
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    from cpupathtrace_tpu.core.config import RenderOptions
-    from cpupathtrace_tpu.integrator.film import pixel_camera_coords, render_chunk
-    from cpupathtrace_tpu.models.scenes import bench_box_scene, bench_camera
 
-    scene = bench_box_scene()
-    camera = bench_camera()
-    options = RenderOptions(
-        WIDTH, HEIGHT, SPP, SPP, epsilon=1e-3, max_depth=40
+def _frame_fn(scene, camera, options, width, height, spp_chunk, n_chunks):
+    from cpupathtrace_tpu.integrator.film import (
+        pixel_camera_coords,
+        render_chunk,
     )
 
     xg, yg = np.meshgrid(
-        np.arange(WIDTH, dtype=np.float32), np.arange(HEIGHT, dtype=np.float32)
+        np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32)
     )
     x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
     x_cam = jnp.asarray(x_cam, jnp.float32)
@@ -51,55 +58,177 @@ def main():
 
     def frame(seed):
         key = jax.random.PRNGKey(seed)
-        total = jnp.zeros((WIDTH * HEIGHT, 4))
-        count = jnp.zeros(WIDTH * HEIGHT, jnp.int32)
-        for i, k in enumerate(jax.random.split(key, SPP // SPP_CHUNK)):
+        total = jnp.zeros((width * height, 4))
+        count = jnp.zeros(width * height, jnp.int32)
+        for k in jax.random.split(key, n_chunks):
             s, c = render_chunk(
-                scene, camera, options, x_cam, y_cam, k, SPP_CHUNK
+                scene, camera, options, x_cam, y_cam, k, spp_chunk
             )
             total = total + s
             count = count + c
         return total, count
 
-    # Warmup (compile). NB: sync via host transfer — block_until_ready has
-    # been observed to return early on the axon-tunneled backend.
+    return frame
+
+
+def run_workload(name, scene, camera, options, width, height, spp,
+                 spp_chunk, baseline, iters=3):
+    frame = _frame_fn(
+        scene, camera, options, width, height, spp_chunk, spp // spp_chunk
+    )
+    # Warmup/compile. Sync via host transfer: block_until_ready has been
+    # observed to return early on the axon-tunneled backend.
     t0 = time.time()
     total, count = frame(0)
     np.asarray(total)
     compile_s = time.time() - t0
 
     best = 1e30
-    iters = 3
     for i in range(iters):
         t0 = time.time()
         total, count = frame(i + 1)
         np.asarray(total)
         dt = time.time() - t0
         best = min(best, dt)
-        print(
-            f"# iter {i}: {dt*1000:.1f} ms ({WIDTH*HEIGHT*SPP/dt/1e6:.2f} Mrays/s)",
-            file=sys.stderr,
-        )
+        log(f"# {name} iter {i}: {dt*1000:.1f} ms "
+            f"({width*height*spp/dt/1e6:.2f} Mrays/s)")
 
     img = np.asarray(total) / np.maximum(np.asarray(count), 1)[:, None]
     mean_rgb = float(img[:, :3].mean())
-    print(
-        f"# compile {compile_s:.1f}s, mean rgb {mean_rgb:.5f}, "
-        f"alpha {float(img[:, 3].mean()):.3f}",
-        file=sys.stderr,
+    log(f"# {name}: compile {compile_s:.1f}s, mean rgb {mean_rgb:.5f}, "
+        f"alpha {float(img[:, 3].mean()):.3f}")
+
+    mrays = width * height * spp / best / 1e6
+    return {
+        "metric": f"{name}_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline, 2),
+    }, compile_s
+
+
+def run_verify():
+    """On-chip parity: the Pallas paths vs the jnp wavefront on real
+    hardware (the interpret-mode tests cannot catch Mosaic-only bugs)."""
+    from cpupathtrace_tpu.accel.pallas_traverse import (
+        binned_intersect_ref,
+        binned_intersect_tpu,
+    )
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.core.rays import Rays
+    from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
+    from cpupathtrace_tpu.integrator.wavefront import trace
+    from cpupathtrace_tpu.models.scenes import (
+        bench_box_scene,
+        bench_dragon_scene,
     )
 
-    mrays = WIDTH * HEIGHT * SPP / best / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "renderSceneBox_throughput",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / REFERENCE_CPU_MRAYS, 2),
-            }
-        )
+    ok = True
+
+    # --- Binned traversal vs the jnp reference path, on-chip.
+    scene = bench_dragon_scene(dragon_tris=20000, accel="binned")
+    rng = np.random.default_rng(0)
+    n = 16384
+    o = rng.uniform(-0.95, 0.95, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_k, p_k = map(np.asarray, jax.jit(
+        lambda o, d: binned_intersect_tpu(scene, o, d)
+    )(o, d))
+    t_r, p_r = map(np.asarray, jax.jit(
+        lambda o, d: binned_intersect_ref(scene, o, d)
+    )(o, d))
+    same = (p_k == p_r) | (t_k == t_r)
+    log(f"# verify binned-vs-sweep on-chip: {int(same.sum())}/{n} exact")
+    ok &= bool(same.all())
+
+    # --- Megakernel vs jnp wavefront: statistical parity on the box scene.
+    box = bench_box_scene()
+    opts = RenderOptions(64, 64, 64, 64, epsilon=1e-3, max_depth=12)
+    m = 65536
+    og = np.zeros((m, 3), np.float32)
+    og[:, 2] = -2.9
+    xs = rng.uniform(-0.8, 0.8, m)
+    ys = rng.uniform(-0.8, 0.8, m)
+    dg = np.stack([xs, ys, np.ones(m)], -1).astype(np.float32)
+    dg /= np.linalg.norm(dg, axis=1, keepdims=True)
+    rays = Rays(origin=jnp.asarray(og), direction=jnp.asarray(dg))
+    s_m, _ = jax.jit(
+        lambda r: trace_megakernel(box, r, opts, 1234)
+    )(rays)
+    s_j, _ = jax.jit(
+        lambda r: trace(box, r, opts, jax.random.PRNGKey(5))
+    )(rays)
+    mean_m = float(np.asarray(s_m)[:, :3].mean())
+    mean_j = float(np.asarray(s_j)[:, :3].mean())
+    rel = abs(mean_m - mean_j) / max(mean_j, 1e-9)
+    log(f"# verify megakernel-vs-wavefront on-chip: mean {mean_m:.5f} vs "
+        f"{mean_j:.5f} (rel {rel:.3f})")
+    ok &= rel < 0.05
+    return bool(ok)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--workloads", default="dragon,box")
+    args = ap.parse_args()
+
+    # Persistent compilation cache: the remote-compiled executables are
+    # reused across bench runs (first compile takes minutes).
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.models.scenes import (
+        bench_box_scene,
+        bench_camera,
+        bench_dragon_scene,
     )
+
+    verify_ok = None
+    if args.verify:
+        verify_ok = run_verify()
+        log(f"# verify: {'PASS' if verify_ok else 'FAIL'}")
+
+    results = []
+    camera = bench_camera()
+    workloads = args.workloads.split(",")
+
+    if "dragon" in workloads:
+        t0 = time.time()
+        scene = bench_dragon_scene(dragon_tris=DRAGON_TRIS, accel="binned")
+        log(f"# dragon scene built in {time.time()-t0:.1f}s "
+            f"({scene.n_tri} tris, C={scene.trv_bounds.shape[0]}, "
+            f"L={scene.cluster_size})")
+        options = RenderOptions(
+            DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
+            epsilon=1e-3, max_depth=40,
+        )
+        res, _ = run_workload(
+            "renderSceneDragonBox", scene, camera, options,
+            DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
+            REFERENCE_CPU_DRAGON_MRAYS,
+        )
+        results.append(res)
+
+    if "box" in workloads:
+        scene = bench_box_scene()
+        options = RenderOptions(
+            BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP, epsilon=1e-3, max_depth=40
+        )
+        res, _ = run_workload(
+            "renderSceneBox", scene, camera, options,
+            BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP_CHUNK,
+            REFERENCE_CPU_BOX_MRAYS,
+        )
+        results.append(res)
+
+    for res in results:
+        if verify_ok is not None:
+            res["parity_verified"] = verify_ok
+        print(json.dumps(res), flush=True)
 
 
 if __name__ == "__main__":

@@ -7,14 +7,19 @@ The round-2 architecture of docs/DESIGN_large_scenes.md, fully fused:
      the whole block) and keeps each ray's top-M candidate clusters — entry
      distance + id, (entry, id)-lexicographically ordered — in registers.
      No [R, C] matrix ever exists; HBM traffic is rays in, M slots out.
-  2. Binning (jnp): one `lax.sort` of the (cluster, pair) keys, per-cluster
-     counts via segment_sum, and gather-only construction of a cluster-major
-     ray table with GROUP-aligned per-cluster ranges (no scatters on the
-     hot path; 1M-pair sort is ~2 ms on v5e).
+  2. Binning (jnp): one `lax.sort` keyed by cluster id that carries the
+     ray components as payload operands — XLA TPU gathers and scatters are
+     latency-bound (a measured 29 ms searchsorted + ~13 ms of gathers per
+     65k-ray query at first), so the pipeline is built exclusively from
+     sorts, tiny C-sized searchsorteds over the sorted keys, and layout
+     ops. Per-cluster ranges stay unaligned/contiguous.
   3. `_isect_kernel` (Pallas): grid over clusters; each program keeps its
      cluster's triangle block VMEM-resident and streams its binned rays
      from HBM in double-buffered 512-ray groups, testing 8 triangles x 128
-     rays per vector op. Outputs per-pair nearest (t, prim).
+     rays per vector op. Outputs per-pair nearest (t, prim). Group tails
+     spill into later clusters' ranges; the sequential grid guarantees the
+     owning (later) program writes those slots last, so no alignment
+     padding is needed.
   4. Resolve (jnp): min over the M slots per ray; then the *exactness
      rounds*: a ray whose (M+1)-th candidate entry (also returned by the
      kernel) still beats its best hit re-runs 1-3 with the lexicographic
@@ -236,20 +241,24 @@ def _isect_kernel(offs_ref, cnts_ref, blk_ref, rays_hbm, t_out, p_out,
     count = cnts_ref[ci]
     n_groups = pl.cdiv(count, _GROUP)
 
+    # Ranges are unaligned/contiguous; DMA handles arbitrary offsets. A
+    # group's tail spills into later clusters' ranges — the sequential grid
+    # guarantees the owning program writes those slots last (and each
+    # program drains its output DMAs before finishing), so spill is benign.
     def in_dma(slot, g):
-        base = pl.multiple_of(start + g * _GROUP, _GROUP)
+        base = start + g * _GROUP
         return pltpu.make_async_copy(
             rays_hbm.at[:, pl.ds(base, _GROUP)], rscr.at[slot], in_sem.at[slot]
         )
 
     def out_dma_t(slot, g):
-        base = pl.multiple_of(start + g * _GROUP, _GROUP)
+        base = start + g * _GROUP
         return pltpu.make_async_copy(
             tscr.at[slot], t_out.at[:, pl.ds(base, _GROUP)], out_sem.at[slot, 0]
         )
 
     def out_dma_p(slot, g):
-        base = pl.multiple_of(start + g * _GROUP, _GROUP)
+        base = start + g * _GROUP
         return pltpu.make_async_copy(
             pscr.at[slot], p_out.at[:, pl.ds(base, _GROUP)], out_sem.at[slot, 1]
         )
@@ -396,8 +405,11 @@ def _dense_part(scene: SceneData, o, d):
     tiny for partitioned scenes)."""
     from ..ops.intersect import intersect_spheres, intersect_triangles
 
+    big = jnp.int32(2 ** 30)
     best_t = jnp.full(o.shape[0], jnp.inf)
     best_p = jnp.full(o.shape[0], -1, jnp.int32)
+    # min+masked-min selects instead of argmin/take_along_axis: XLA TPU
+    # gathers are latency-bound even at these sizes.
     if scene.n_big > 0:
         t = intersect_triangles(
             o[:, None, :], d[:, None, :],
@@ -405,9 +417,10 @@ def _dense_part(scene: SceneData, o, d):
             scene.big_cull[None],
         )
         t = jnp.where((scene.big_prim[None] >= 0) & (t >= 0.0), t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        tb = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-        pb = scene.big_prim[j]
+        tb = jnp.min(t, axis=1)
+        pb = jnp.min(
+            jnp.where(t <= tb[:, None], scene.big_prim[None], big), axis=1
+        )
         hit = jnp.isfinite(tb)
         best_t = jnp.where(hit, tb, best_t)
         best_p = jnp.where(hit, pb, best_p)
@@ -417,11 +430,12 @@ def _dense_part(scene: SceneData, o, d):
             scene.sph_center[None], scene.sph_radius[None],
         )
         t = jnp.where(scene.sph_valid[None] & (t >= 0.0), t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        ts = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+        ts = jnp.min(t, axis=1)
+        sl = jnp.arange(t.shape[1], dtype=jnp.int32)[None] + scene.n_tri
+        ps = jnp.min(jnp.where(t <= ts[:, None], sl, big), axis=1)
         better = ts < best_t
         best_t = jnp.where(better, ts, best_t)
-        best_p = jnp.where(better, j.astype(jnp.int32) + scene.n_tri, best_p)
+        best_p = jnp.where(better, ps, best_p)
     return best_t, best_p
 
 
@@ -461,73 +475,64 @@ def _round_body(scene, o, d, best_t, best_p, t_lo, id_lo, live, *,
     ids = ids4.transpose(1, 0, 2, 3).reshape(_M_ROWS, rb)
     ent = ent4.transpose(1, 0, 2, 3).reshape(_M_ROWS, rb)
 
-    # --- Binning: sort pair keys, gather a cluster-major ray table with
-    # _GROUP-aligned per-cluster ranges.
+    # --- Binning: ONE sort keyed by cluster id, carrying the pair's ray
+    # components and original index as payload operands. No gathers, no
+    # scatters, no searchsorted over pair-sized arrays (all measured
+    # latency-bound on TPU); range bookkeeping is C-sized.
     flat_ids = ids[:m].reshape(-1)  # pair p = s*rb + r
     key = jnp.where(flat_ids >= 0, flat_ids, c).astype(jnp.int32)
     payload = jnp.arange(rb * m, dtype=jnp.int32)
-    skey, spay = jax.lax.sort([key, payload], num_keys=1)
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(key), key, num_segments=c + 1
-    )[:c].astype(jnp.int32)
-    counts_al = (counts + _GROUP - 1) // _GROUP * _GROUP
-    offs_al = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_al)[:-1]]
+    tile = lambda x: jnp.tile(x, m)
+    skey, sox, soy, soz, sdx, sdy, sdz, spay = jax.lax.sort(
+        [key, tile(o[:, 0]), tile(o[:, 1]), tile(o[:, 2]),
+         tile(d[:, 0]), tile(d[:, 1]), tile(d[:, 2]), payload],
+        num_keys=1,
     )
-    offs_un = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
-    )
-    tp = rb * m + c * _GROUP  # static padded table size
-
-    # Each padded slot's source pair (gather-only formulation).
-    slot_idx = jnp.arange(tp, dtype=jnp.int32)
-    ends = offs_al + counts_al
-    kc = jnp.searchsorted(ends, slot_idx, side="right").astype(jnp.int32)
-    kc = jnp.minimum(kc, c - 1)
-    rank = slot_idx - offs_al[kc]
-    slot_valid = rank < counts[kc]
-    src_sorted = jnp.minimum(offs_un[kc] + rank, rb * m - 1)
-    src_ray = spay[src_sorted] % rb
-    comp6 = jnp.concatenate(
-        [o.T, d.T, jnp.zeros((2, rb))], axis=0
-    ).astype(jnp.float32)  # [8, RB]
-    safe = jnp.asarray(
-        [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0], jnp.float32
-    )[:, None]
-    rays_t = jnp.where(slot_valid[None, :], comp6[:, src_ray], safe)
+    # Per-cluster contiguous ranges straight off the sorted keys.
+    offs = jnp.searchsorted(
+        skey, jnp.arange(c + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.diff(offs)
+    zero = jnp.zeros(rb * m, jnp.float32)
+    rays_t = jnp.stack([sox, soy, soz, sdx, sdy, sdz, zero, zero])
+    # Spill margin: the last cluster's final 512-ray group may read/write
+    # past its range end.
+    rays_t = jnp.pad(rays_t, ((0, 0), (0, _GROUP)))
 
     t_pairs, p_pairs = _isect_call(
-        offs_al, counts, scene.trv_blocks, rays_t,
+        offs[:c], counts, scene.trv_blocks, rays_t,
         n_tiles=n_tiles, interpret=interpret,
     )
-    # Back to per-(ray, slot): sorted position of each original pair.
-    keyc = jnp.minimum(skey, c - 1)
-    pos_sorted = jnp.where(
-        skey < c,
-        offs_al[keyc] + (jnp.arange(rb * m, dtype=jnp.int32) - offs_un[keyc]),
-        tp - 1,
+    # Un-sort with a second (3-operand) sort by original pair index.
+    _, t_flat, p_flat = jax.lax.sort(
+        [spay, t_pairs[0, : rb * m], p_pairs[0, : rb * m]], num_keys=1
     )
-    inv = jnp.zeros(rb * m, jnp.int32).at[spay].set(pos_sorted)
-    t_cand = t_pairs[0, inv].reshape(m, rb)
-    p_cand = p_pairs[0, inv].reshape(m, rb)
     valid_cand = ids[:m] >= 0
-    t_cand = jnp.where(valid_cand, t_cand, jnp.inf)
+    t_cand = jnp.where(valid_cand, t_flat.reshape(m, rb), jnp.inf)
+    p_cand = p_flat.reshape(m, rb)
 
-    # --- Resolve.
-    j = jnp.argmin(t_cand, axis=0)
-    t_new = jnp.take_along_axis(t_cand, j[None], axis=0)[0]
-    p_new = jnp.take_along_axis(p_cand, j[None], axis=0)[0]
+    # --- Resolve (masked-min selects; no take_along_axis).
+    t_new = jnp.min(t_cand, axis=0)
+    p_new = jnp.full(rb, -1, jnp.int32)
+    chosen = jnp.zeros(rb, bool)
+    for s in range(m):
+        on = (~chosen) & (t_cand[s] == t_new)
+        p_new = jnp.where(on, p_cand[s], p_new)
+        chosen = chosen | on
     better = live & (t_new < best_t)
     best_t = jnp.where(better, t_new, best_t)
     best_p = jnp.where(better, p_new, best_p)
 
-    # Advance the lexicographic bound past this round's processed clusters.
+    # Advance the lexicographic bound past this round's processed clusters
+    # (last valid slot wins by sequential overwrite — slots are a valid
+    # prefix by construction).
+    worst_e = jnp.full(rb, -jnp.inf)
+    worst_i = jnp.full(rb, -jnp.inf)
+    for s in range(m):
+        v = valid_cand[s]
+        worst_e = jnp.where(v, ent[s], worst_e)
+        worst_i = jnp.where(v, ids[s].astype(jnp.float32), worst_i)
     any_kept = valid_cand[0]
-    last = jnp.sum(valid_cand.astype(jnp.int32), axis=0) - 1
-    worst_e = jnp.take_along_axis(ent[:m], jnp.maximum(last, 0)[None], axis=0)[0]
-    worst_i = jnp.take_along_axis(
-        ids[:m], jnp.maximum(last, 0)[None], axis=0
-    )[0].astype(jnp.float32)
     e_next = ent[m]
     pending = live & any_kept & (e_next < best_t)
     if any_hit:
@@ -582,28 +587,37 @@ def binned_intersect_tpu(
 
     best0 = t0 if t_max is None else jnp.minimum(t0, t_max)
 
-    # Compact live rays to the front; batch the cluster stage over fixed
-    # [RB] slices so every downstream shape (sort, pair table, kernels)
-    # scales with the live count, not the wavefront size.
+    # Compact live rays to the front with ONE sort that carries the ray
+    # components, dense results, and original indices (gather/scatter-free:
+    # XLA TPU gathers are latency-bound). Batch the cluster stage over
+    # fixed [RB] slices so every downstream shape (sorts, pair table,
+    # kernels) scales with the live count, not the wavefront size.
     rb = min(batch, max(_BLOCK, -(-r // _BLOCK) * _BLOCK))
-    order = jax.lax.sort(
-        [(~live0).astype(jnp.int32), jnp.arange(r, dtype=jnp.int32)],
-        num_keys=1,
-    )[1]
+    pad = (-r) % rb
     n_live = jnp.sum(live0).astype(jnp.int32)
 
-    pad = (-r) % rb
-    order_p = jnp.concatenate([order, jnp.full(pad, r, jnp.int32)])
-    gather_idx = jnp.minimum(order_p, r - 1)
-    os_ = o[gather_idx]
-    ds_ = d[gather_idx]
-    bests = best0[gather_idx]
-    lives = jnp.concatenate([live0[order], jnp.zeros(pad, bool)])
+    key0 = (~live0).astype(jnp.int32)
+    pay0 = jnp.arange(r, dtype=jnp.int32)
+    (_, sox, soy, soz, sdx, sdy, sdz,
+     sbest, st0, sp0, spay) = jax.lax.sort(
+        [key0, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         best0, t0, p0, pay0],
+        num_keys=1,
+    )
 
-    # Output accumulators carry one trash row at index r for padding lanes.
-    out_t = jnp.concatenate([jnp.where(jnp.isfinite(t0), t0, jnp.inf),
-                             jnp.array([jnp.inf])])
-    out_p = jnp.concatenate([p0, jnp.array([-1], jnp.int32)])
+    padf = lambda x, v: jnp.pad(x, (0, pad), constant_values=v)
+    os_ = jnp.stack([padf(sox, 0.0), padf(soy, 0.0), padf(soz, 0.0)], -1)
+    ds_ = jnp.stack([padf(sdx, 0.0), padf(sdy, 0.0), padf(sdz, 1.0)], -1)
+    bests = padf(sbest, 0.0)
+    lives = jnp.arange(r + pad) < n_live
+
+    # Accumulators live in SORTED space (batch writes are contiguous
+    # dynamic_update_slices); one final sort by original index un-sorts.
+    out_t = padf(st0, jnp.inf)
+    out_p = padf(sp0, -1)
+    spay_p = jnp.concatenate(
+        [spay, jnp.arange(r, r + pad, dtype=jnp.int32)]
+    )
 
     n_batches = (r + pad) // rb
 
@@ -618,7 +632,6 @@ def binned_intersect_tpu(
         d_b = jax.lax.dynamic_slice(ds_, (sl, 0), (rb, 3))
         best_b = jax.lax.dynamic_slice(bests, (sl,), (rb,))
         live_b = jax.lax.dynamic_slice(lives, (sl,), (rb,))
-        idx_b = jax.lax.dynamic_slice(order_p, (sl,), (rb,))
 
         best_t = best_b
         best_p = jnp.full(rb, -1, jnp.int32)
@@ -646,18 +659,23 @@ def binned_intersect_tpu(
         # Cluster hits merge into the dense-initialized outputs; lanes whose
         # best is still the dense result write nothing new (bp stays -1).
         mask = live_b & (bp >= 0)
-        cur_t = out_t[idx_b]
-        cur_p = out_p[idx_b]
-        out_t = out_t.at[idx_b].set(jnp.where(mask, bt, cur_t))
-        out_p = out_p.at[idx_b].set(jnp.where(mask, bp, cur_p))
+        cur_t = jax.lax.dynamic_slice(out_t, (sl,), (rb,))
+        cur_p = jax.lax.dynamic_slice(out_p, (sl,), (rb,))
+        out_t = jax.lax.dynamic_update_slice(
+            out_t, jnp.where(mask, bt, cur_t), (sl,)
+        )
+        out_p = jax.lax.dynamic_update_slice(
+            out_p, jnp.where(mask, bp, cur_p), (sl,)
+        )
         return b + 1, out_t, out_p
 
     _, out_t, out_p = jax.lax.while_loop(
         batch_cond, batch_body, (jnp.int32(0), out_t, out_p)
     )
 
-    t = out_t[:r]
-    p = out_p[:r]
+    _, t, p = jax.lax.sort([spay_p, out_t, out_p], num_keys=1)
+    t = t[:r]
+    p = p[:r]
     hit = (p >= 0) & jnp.isfinite(t)
     return jnp.where(hit, t, -1.0), jnp.where(hit, p, -1)
 

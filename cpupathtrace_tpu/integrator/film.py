@@ -214,7 +214,15 @@ def render_tile(
         accepted = accepted | newly_accepted
         frozen = frozen | newly_accepted
 
-        if bool(jnp.all(frozen | accepted)) and c >= (min_sc // stats - 1):
+        # Early break saves whole chunks only in adaptive mode; for
+        # fixed-spp renders skip the check entirely — `bool(...)` forces a
+        # device->host sync per chunk (a latency bubble over the TPU
+        # tunnel).
+        if (
+            max_sc > min_sc
+            and c >= (min_sc // stats - 1)
+            and bool(jnp.all(frozen | accepted))
+        ):
             break
 
     if remainder > 0:
@@ -257,13 +265,16 @@ def render(
     n_tiles = math.ceil(h / rows_per_tile)
 
     px = np.arange(w, dtype=np.float32)
-    image = np.zeros((n_tiles * rows_per_tile, w, 4), np.float32)
+    image = np.zeros((h, w, 4), np.float32)
     key = jax.random.PRNGKey(seed)
     tile_keys = jax.random.split(key, n_tiles)
 
     for i in range(n_tiles):
         y0 = i * rows_per_tile
-        py = np.arange(y0, y0 + rows_per_tile, dtype=np.float32) % h
+        rows = min(rows_per_tile, h - y0)  # exact tail tile: no overlap,
+        # no re-rendered rows (ref: worker.cpp:398-414 tiles are disjoint);
+        # a non-divisible height costs one extra jit specialization.
+        py = np.arange(y0, y0 + rows, dtype=np.float32)
         xg, yg = np.meshgrid(px, py)
         x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
         tile = render_tile(
@@ -271,8 +282,8 @@ def render(
             jnp.asarray(x_cam, jnp.float32), jnp.asarray(y_cam, jnp.float32),
             tile_keys[i],
         )
-        image[y0 : y0 + rows_per_tile] = np.asarray(tile).reshape(rows_per_tile, w, 4)
+        image[y0 : y0 + rows] = np.asarray(tile).reshape(rows, w, 4)
         if progress_callback is not None:
             progress_callback(i + 1, n_tiles)
 
-    return image[:h]
+    return image

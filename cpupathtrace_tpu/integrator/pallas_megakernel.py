@@ -42,8 +42,12 @@ _PD_CUTOFF = 1e-20
 _PI = 3.14159265358979323846
 _BLOCK_ROWS = 64
 _LANES = 128
-_MAX_TRI = 64
-_MAX_SPH = 8
+# Table loops are `fori_loop`s over SMEM rows (not unrolled), so the caps
+# bound per-bounce runtime cost, not compile time. Past ~512 triangles the
+# binned traversal path wins anyway (accel/pallas_traverse.py).
+_MAX_TRI = 512
+_MAX_SPH = 64
+_MAX_EM = 256
 
 # Table row layouts (all f32):
 # tri: v0(0:3) e1(3:6) e2(6:9) cull(9) valid(10) n0(11:14) n1(14:17) n2(17:20)
@@ -55,8 +59,10 @@ _SPH_COLS = 8
 _MAT_COLS = 12
 # light (point): pos(0:3) spectrum(3:6)
 _LGT_COLS = 8
-# emissive: cdf(0) prim_row(1) is_sphere(2)
-_EM_COLS = 4
+# emissive (fully pre-resolved so NEE is O(E), not O(E*T*M)):
+# cdf(0) sel_p(1) is_sphere(2) v0|center(3:6) e1|radius(6:9) e2(9:12)
+# face_normal(12:15) pd_area(15) cull(16) emission(17:20)
+_EM_COLS = 24
 
 
 def _seed_rng(seed, shape):
@@ -92,9 +98,10 @@ def _next_u01(state):
 
 def _intersect_tables(tri_ref, sph_ref, n_tri, n_sph,
                       ox, oy, oz, dx, dy, dz, want_normal_mat):
-    """Nearest-hit over the SMEM tables. Returns best_t (+inf on miss),
-    best_prim, and — when want_normal_mat — the interpolated shading normal
-    and material id of the winner, computed in-loop at win time."""
+    """Nearest-hit over the SMEM tables (fori_loops with dynamic row reads —
+    compile cost is independent of the table sizes). Returns best_t (+inf on
+    miss), best_prim, and — when want_normal_mat — the interpolated shading
+    normal and material id of the winner, computed in-loop at win time."""
     shp = ox.shape
     best_t = jnp.full(shp, jnp.inf, jnp.float32)
     best_p = jnp.full(shp, -1, jnp.int32)
@@ -103,7 +110,8 @@ def _intersect_tables(tri_ref, sph_ref, n_tri, n_sph,
     nz = jnp.zeros(shp, jnp.float32)
     mat = jnp.zeros(shp, jnp.int32)
 
-    for k in range(n_tri):
+    def tri_body(k, st):
+        best_t, best_p, nx, ny, nz, mat = st
         v0x, v0y, v0z = tri_ref[k, 0], tri_ref[k, 1], tri_ref[k, 2]
         e1x, e1y, e1z = tri_ref[k, 3], tri_ref[k, 4], tri_ref[k, 5]
         e2x, e2y, e2z = tri_ref[k, 6], tri_ref[k, 7], tri_ref[k, 8]
@@ -147,8 +155,10 @@ def _intersect_tables(tri_ref, sph_ref, n_tri, n_sph,
             ny = jnp.where(ok, sny * inv, ny)
             nz = jnp.where(ok, snz * inv, nz)
             mat = jnp.where(ok, tri_ref[k, 20].astype(jnp.int32), mat)
+        return best_t, best_p, nx, ny, nz, mat
 
-    for k in range(n_sph):
+    def sph_body(k, st):
+        best_t, best_p, nx, ny, nz, mat = st
         cx, cy, cz = sph_ref[k, 0], sph_ref[k, 1], sph_ref[k, 2]
         r = sph_ref[k, 3]
         valid = sph_ref[k, 4]
@@ -170,18 +180,30 @@ def _intersect_tables(tri_ref, sph_ref, n_tri, n_sph,
             ny = jnp.where(ok, hy * inv, ny)
             nz = jnp.where(ok, hz * inv, nz)
             mat = jnp.where(ok, sph_ref[k, 5].astype(jnp.int32), mat)
+        return best_t, best_p, nx, ny, nz, mat
+
+    st = (best_t, best_p, nx, ny, nz, mat)
+    st = jax.lax.fori_loop(0, n_tri, tri_body, st)
+    st = jax.lax.fori_loop(0, n_sph, sph_body, st)
+    best_t, best_p, nx, ny, nz, mat = st
 
     if want_normal_mat:
         return best_t, best_p, nx, ny, nz, mat
     return best_t, best_p
 
 
-def _gather_mat_scalar(mat_ref, mid, col, n_mat):
-    """Per-lane material column via masked scalar selects over M rows."""
-    out = jnp.zeros(mid.shape, jnp.float32)
-    for m in range(n_mat):
-        out = jnp.where(mid == m, mat_ref[m, col], out)
-    return out
+def _gather_mat_all(mat_ref, mid, n_mat):
+    """All 12 per-lane material columns in one fori pass over the table."""
+    shp = mid.shape
+
+    def body(m, cols):
+        on = mid == m
+        return tuple(
+            jnp.where(on, mat_ref[m, c], cols[c]) for c in range(_MAT_COLS)
+        )
+
+    cols = tuple(jnp.zeros(shp, jnp.float32) for _ in range(_MAT_COLS))
+    return jax.lax.fori_loop(0, n_mat, body, cols)
 
 
 def _tangent_frame(nx, ny, nz):
@@ -236,18 +258,11 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             pyp = oy + dy * t_hit
             pzp = oz + dz * t_hit
 
-            md_r = _gather_mat_scalar(mat_ref, mid, 0, n_mat)
-            md_g = _gather_mat_scalar(mat_ref, mid, 1, n_mat)
-            md_b = _gather_mat_scalar(mat_ref, mid, 2, n_mat)
-            ms_r = _gather_mat_scalar(mat_ref, mid, 3, n_mat)
-            ms_g = _gather_mat_scalar(mat_ref, mid, 4, n_mat)
-            ms_b = _gather_mat_scalar(mat_ref, mid, 5, n_mat)
-            ior = _gather_mat_scalar(mat_ref, mid, 6, n_mat)
-            me_r = _gather_mat_scalar(mat_ref, mid, 7, n_mat)
-            me_g = _gather_mat_scalar(mat_ref, mid, 8, n_mat)
-            me_b = _gather_mat_scalar(mat_ref, mid, 9, n_mat)
-            bsdf = _gather_mat_scalar(mat_ref, mid, 10, n_mat)
-            one_way = _gather_mat_scalar(mat_ref, mid, 11, n_mat) > 0.5
+            (md_r, md_g, md_b, ms_r, ms_g, ms_b, ior,
+             me_r, me_g, me_b, bsdf, one_way_f) = _gather_mat_all(
+                mat_ref, mid, n_mat
+            )
+            one_way = one_way_f > 0.5
             is_glass = bsdf == jnp.float32(BSDF_GLASS)
             is_mirror = bsdf == jnp.float32(BSDF_MIRROR)
             is_spec = is_glass | is_mirror
@@ -296,82 +311,101 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 out_b = out_b + w * md_b * ls_b * sb
                 return out_r, out_g, out_b
 
-            for li in range(n_lights):
-                out_r, out_g, out_b = nee_accumulate(
+            def point_light(li, acc):
+                out_r, out_g, out_b = acc
+                return nee_accumulate(
                     lgt_ref[li, 0], lgt_ref[li, 1], lgt_ref[li, 2],
                     lgt_ref[li, 3], lgt_ref[li, 4], lgt_ref[li, 5],
                     jnp.float32(1.0), jnp.full(shp, True),
                     out_r, out_g, out_b,
                 )
 
+            out_r, out_g, out_b = jax.lax.fori_loop(
+                0, n_lights, point_light, (out_r, out_g, out_b)
+            )
+
             for _ in range(em_k):
                 rng, rsel = _next_u01(rng)
                 rng, u1 = _next_u01(rng)
                 rng, u2 = _next_u01(rng)
-                # CDF selection over emissive rows (ref: scene.cpp:238-257).
-                sel = jnp.full(shp, n_em - 1, jnp.int32)
-                for e in range(n_em - 1, -1, -1):
-                    sel = jnp.where(rsel <= em_ref[e, 0], e, sel)
-                # Fetch the selected emissive prim's data by masked selects.
-                spx = jnp.zeros(shp, jnp.float32)
-                spy = jnp.zeros(shp, jnp.float32)
-                spz = jnp.zeros(shp, jnp.float32)
-                snx_ = jnp.zeros(shp, jnp.float32)
-                sny_ = jnp.ones(shp, jnp.float32)
-                snz_ = jnp.zeros(shp, jnp.float32)
-                s_pd = jnp.ones(shp, jnp.float32)
-                e_r = jnp.zeros(shp, jnp.float32)
-                e_g = jnp.zeros(shp, jnp.float32)
-                e_b = jnp.zeros(shp, jnp.float32)
-                cullm = jnp.full(shp, False)
+
+                # CDF selection (lower_bound semantics, ref: scene.cpp:238-257)
+                # as a descending fori over the packed emissive rows.
+                def cdf_body(i, sel):
+                    e = n_em - 1 - i
+                    return jnp.where(rsel <= em_ref[e, 0], e, sel)
+
+                sel = jax.lax.fori_loop(
+                    0, n_em, cdf_body, jnp.full(shp, n_em - 1, jnp.int32)
+                )
+
+                # Fetch the selected row's pre-resolved sample data by
+                # masked selects — one O(E) pass, no triangle/material scan.
                 sq = jnp.sqrt(u1)
-                for e in range(n_em):
+                w1 = 1.0 - sq
+                w2 = sq * (1.0 - u2)
+                w3 = sq * u2
+                # Uniform sphere point (ref: object.cpp:101-116).
+                theta = 2.0 * _PI * u1
+                cphi = 1.0 - 2.0 * u2
+                sphi = jnp.sqrt(jnp.maximum(1.0 - cphi * cphi, 0.0))
+                ux_s = sphi * jnp.cos(theta)
+                uy_s = sphi * jnp.sin(theta)
+                uz_s = cphi
+
+                def em_body(e, st):
+                    (spx, spy, spz, snx_, sny_, snz_, s_pd,
+                     e_r, e_g, e_b, cullm) = st
                     on = sel == e
-                    row = em_ref[e, 1].astype(jnp.int32)
-                    sel_p = em_ref[e, 2]
-                    # Triangle surface sample, sqrt warp
-                    # (ref: object.cpp:192-207). Emissive spheres are not
-                    # supported by the megakernel (fallback handles them).
-                    for k in range(n_tri):
-                        onk = on & (row == k)
-                        w1 = 1.0 - sq
-                        w2 = sq * (1.0 - u2)
-                        w3 = sq * u2
-                        cx = (w1 * tri_ref[k, 0]
-                              + w2 * (tri_ref[k, 0] + tri_ref[k, 3])
-                              + w3 * (tri_ref[k, 0] + tri_ref[k, 6]))
-                        cy = (w1 * tri_ref[k, 1]
-                              + w2 * (tri_ref[k, 1] + tri_ref[k, 4])
-                              + w3 * (tri_ref[k, 1] + tri_ref[k, 7]))
-                        cz = (w1 * tri_ref[k, 2]
-                              + w2 * (tri_ref[k, 2] + tri_ref[k, 5])
-                              + w3 * (tri_ref[k, 2] + tri_ref[k, 8]))
-                        spx = jnp.where(onk, cx, spx)
-                        spy = jnp.where(onk, cy, spy)
-                        spz = jnp.where(onk, cz, spz)
-                        # geometric (face) normal of the emitter
-                        fnx = (tri_ref[k, 4] * tri_ref[k, 8]
-                               - tri_ref[k, 5] * tri_ref[k, 7])
-                        fny = (tri_ref[k, 5] * tri_ref[k, 6]
-                               - tri_ref[k, 3] * tri_ref[k, 8])
-                        fnz = (tri_ref[k, 3] * tri_ref[k, 7]
-                               - tri_ref[k, 4] * tri_ref[k, 6])
-                        area2 = jnp.sqrt(fnx * fnx + fny * fny + fnz * fnz)
-                        invn = 1.0 / jnp.maximum(area2, 1e-30)
-                        snx_ = jnp.where(onk, fnx * invn, snx_)
-                        sny_ = jnp.where(onk, fny * invn, sny_)
-                        snz_ = jnp.where(onk, fnz * invn, snz_)
-                        area = area2 * 0.5
-                        s_pd = jnp.where(
-                            onk, sel_p / jnp.maximum(area, 1e-30), s_pd
-                        )
-                        cullm = cullm | (onk & (tri_ref[k, 9] > 0.5))
-                        mrow = tri_ref[k, 20].astype(jnp.int32)
-                        for m in range(n_mat):
-                            onm = onk & (mrow == m)
-                            e_r = jnp.where(onm, mat_ref[m, 7], e_r)
-                            e_g = jnp.where(onm, mat_ref[m, 8], e_g)
-                            e_b = jnp.where(onm, mat_ref[m, 9], e_b)
+                    is_sph = em_ref[e, 2] > 0.5
+                    v0x, v0y, v0z = em_ref[e, 3], em_ref[e, 4], em_ref[e, 5]
+                    e1x, e1y, e1z = em_ref[e, 6], em_ref[e, 7], em_ref[e, 8]
+                    e2x, e2y, e2z = em_ref[e, 9], em_ref[e, 10], em_ref[e, 11]
+                    # Triangle: sqrt-warp sample + face normal
+                    # (ref: object.cpp:192-207). Sphere: v0 = center,
+                    # e1x = radius, normal = unit sample direction.
+                    r_s = e1x
+                    cx = jnp.where(
+                        is_sph, v0x + r_s * ux_s,
+                        v0x + w2 * e1x + w3 * e2x,
+                    )
+                    cy = jnp.where(
+                        is_sph, v0y + r_s * uy_s,
+                        v0y + w2 * e1y + w3 * e2y,
+                    )
+                    cz = jnp.where(
+                        is_sph, v0z + r_s * uz_s,
+                        v0z + w2 * e1z + w3 * e2z,
+                    )
+                    fnx = jnp.where(is_sph, ux_s, em_ref[e, 12])
+                    fny = jnp.where(is_sph, uy_s, em_ref[e, 13])
+                    fnz = jnp.where(is_sph, uz_s, em_ref[e, 14])
+                    spx = jnp.where(on, cx, spx)
+                    spy = jnp.where(on, cy, spy)
+                    spz = jnp.where(on, cz, spz)
+                    snx_ = jnp.where(on, fnx, snx_)
+                    sny_ = jnp.where(on, fny, sny_)
+                    snz_ = jnp.where(on, fnz, snz_)
+                    s_pd = jnp.where(on, em_ref[e, 1] * em_ref[e, 15], s_pd)
+                    cullm = cullm | (on & (em_ref[e, 16] > 0.5))
+                    e_r = jnp.where(on, em_ref[e, 17], e_r)
+                    e_g = jnp.where(on, em_ref[e, 18], e_g)
+                    e_b = jnp.where(on, em_ref[e, 19], e_b)
+                    return (spx, spy, spz, snx_, sny_, snz_, s_pd,
+                            e_r, e_g, e_b, cullm)
+
+                st0 = (
+                    jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
+                    jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
+                    jnp.ones(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
+                    jnp.ones(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
+                    jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
+                    jnp.full(shp, False),
+                )
+                (spx, spy, spz, snx_, sny_, snz_, s_pd,
+                 e_r, e_g, e_b, cullm) = jax.lax.fori_loop(
+                    0, n_em, em_body, st0
+                )
                 # Area -> solid angle conversion (ref: scene.cpp:280).
                 tlx = spx - pxp
                 tly = spy - pyp
@@ -538,11 +572,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
 
 
 def megakernel_supported(scene: SceneData) -> bool:
-    """Static (trace-safe) check: dense tables fit and all emitters are
-    triangles (emissive spheres fall back to the jnp wavefront)."""
-    if scene.tri_v0.shape[0] > _MAX_TRI or scene.n_sph > _MAX_SPH:
-        return False
-    return scene.emissive_all_tri
+    """Static (trace-safe) check: the SMEM tables fit. Emissive spheres and
+    triangles are both supported; large meshes use the binned path."""
+    return (
+        scene.tri_v0.shape[0] <= _MAX_TRI
+        and scene.sph_center.shape[0] <= _MAX_SPH
+        and scene.emissive_cdf.shape[0] <= _MAX_EM
+    )
 
 
 def _pack_tables(scene: SceneData):
@@ -596,15 +632,47 @@ def _pack_tables(scene: SceneData):
         ],
         axis=1,
     )
-    e_rows = scene.emissive_cdf.shape[0]
+    # Emissive rows fully pre-resolved (geometry, pdf, emission) so the
+    # in-kernel NEE pass is a single O(E) fori, independent of scene size.
     cdf = scene.emissive_cdf
+    e_rows = cdf.shape[0]
     prob = jnp.diff(jnp.concatenate([jnp.zeros(1, f32), cdf]))
-    em = jnp.stack(
+    prim = scene.emissive_prim
+    is_sph = prim >= scene.n_tri
+    ti = jnp.clip(prim, 0, scene.tri_v0.shape[0] - 1)
+    si = jnp.clip(prim - scene.n_tri, 0, scene.sph_center.shape[0] - 1)
+    v0 = jnp.where(is_sph[:, None], scene.sph_center[si], scene.tri_v0[ti])
+    e1t = scene.tri_v1[ti] - scene.tri_v0[ti]
+    e2t = scene.tri_v2[ti] - scene.tri_v0[ti]
+    e1 = jnp.where(
+        is_sph[:, None],
+        jnp.stack([scene.sph_radius[si]] + [jnp.zeros(e_rows, f32)] * 2, -1),
+        e1t,
+    )
+    e2 = jnp.where(is_sph[:, None], 0.0, e2t)
+    fn = jnp.cross(e1t, e2t)
+    area2 = jnp.sqrt(jnp.sum(fn * fn, axis=-1))
+    fn = fn / jnp.maximum(area2, 1e-30)[:, None]
+    pd_area = jnp.where(
+        is_sph,
+        1.0 / jnp.maximum(
+            4.0 * _PI * scene.sph_radius[si] ** 2, 1e-30
+        ),
+        1.0 / jnp.maximum(area2 * 0.5, 1e-30),
+    )
+    cull = jnp.where(is_sph, False, scene.tri_cull[ti])
+    mid = jnp.where(is_sph, scene.sph_material[si], scene.tri_material[ti])
+    emission = scene.mat_emission[mid][:, :3]
+    em = jnp.concatenate(
         [
-            cdf,
-            scene.emissive_prim.astype(f32),
-            prob * float(scene.emissive_sample_count),
-            jnp.zeros(e_rows, f32),
+            cdf[:, None],
+            (prob * float(scene.emissive_sample_count))[:, None],
+            is_sph.astype(f32)[:, None],
+            v0, e1, e2, fn,
+            pd_area[:, None],
+            cull.astype(f32)[:, None],
+            emission,
+            jnp.zeros((e_rows, _EM_COLS - 20), f32),
         ],
         axis=1,
     )

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bsdf.bsdf import eval_spectrum, gather_material, propagate
+from ..core import debug
 from ..core.config import RenderOptions
 from ..core.rays import Rays
 from ..ops.intersect import scene_intersect
@@ -87,6 +88,14 @@ def trace(
 
     def body(s):
         key, k_rt, k_nee, k_prop = jax.random.split(s["key"], 4)
+
+        # Debug-assertion layer (PTX_DEBUG=1; ref: base.h:59-80 assert set).
+        # No-ops unless enabled; surfaced via `checked_trace`.
+        debug.check_normalized(s["d"], "ray direction")
+        debug.check_non_negative(s["sample_spectrum"], "sample_spectrum")
+        debug.check_non_negative(s["out"], "accumulated spectrum")
+        debug.check_finite(s["divisor"], "sample_divisor")
+        debug.check_finite(s["bounce_pd"], "sample_bounce_pd")
 
         t, prim = scene_intersect(scene, s["o"], s["d"], live=s["alive"])
         hit = s["alive"] & (t >= 0.0)
@@ -233,3 +242,13 @@ def trace(
     # Alpha channel = any-hit mask (ref: worker.cpp:141-143).
     out = out.at[..., 3].set(jnp.where(collected, 1.0, 0.0))
     return out, collected
+
+
+def checked_trace(scene, rays, options, key, differentiable=False):
+    """`trace` with the PTX_DEBUG assertion layer surfaced: raises
+    JaxRuntimeError on the first failed check (the analog of an assert
+    firing in a reference debug build). Identical to `trace` when
+    PTX_DEBUG is unset."""
+    return debug.checked(
+        lambda *a: trace(*a, differentiable=differentiable)
+    )(scene, rays, options, key)

@@ -116,18 +116,47 @@ def make_box(a, b, cull_backface: bool = False) -> list[HostTriangle]:
     return triangles
 
 
-def transform_triangles(triangles: list[HostTriangle], mat4: np.ndarray) -> list[HostTriangle]:
+def transform_triangles(
+    triangles: list[HostTriangle],
+    mat4: np.ndarray,
+    preserve_normals: bool = True,
+) -> list[HostTriangle]:
     """Apply a row-major 4x4 affine transform (with perspective divide, ref:
-    util/matrix.h:50-55) to triangle vertices. Shading normals are reset to
-    the new face normals, matching the demo's manual re-construction of
-    transformed triangles (ref: demo/main.cpp:190-194)."""
+    util/matrix.h:50-55) to triangle vertices — the `moveObjects`-with-a-
+    transform workflow (ref: scene/mesh.h:74-81 + demo/main.cpp:190-194).
+
+    With `preserve_normals` (default) per-vertex shading normals are carried
+    through via the inverse-transpose of the linear part and renormalized,
+    so smooth meshes stay smooth; face-normal triangles still end up with
+    the new face normals (the inverse-transpose maps face normals to face
+    normals for affine maps). `preserve_normals=False` resets to face
+    normals, matching the demo's manual re-construction of transformed
+    box triangles."""
     mat4 = np.asarray(mat4, dtype=np.float64)
 
     def tp(p):
         h = mat4 @ np.array([p[0], p[1], p[2], 1.0])
         return h[:3] / h[3]
 
-    return [
-        HostTriangle(tp(t.a), tp(t.b), tp(t.c), t.cull_backface, material=t.material)
-        for t in triangles
-    ]
+    nmat = None
+    if preserve_normals:
+        lin = mat4[:3, :3]
+        try:
+            nmat = np.linalg.inv(lin).T
+        except np.linalg.LinAlgError:
+            nmat = None  # singular: fall back to face normals
+
+    def tn(nv):
+        n = nmat @ np.asarray(nv, dtype=np.float64)
+        norm = np.linalg.norm(n)
+        return n / norm if norm > 0 else n
+
+    out = []
+    for t in triangles:
+        nt = HostTriangle(
+            tp(t.a), tp(t.b), tp(t.c), t.cull_backface, material=t.material
+        )
+        if nmat is not None:
+            nt.na, nt.nb, nt.nc = tn(t.na), tn(t.nb), tn(t.nc)
+        out.append(nt)
+    return out
