@@ -241,24 +241,26 @@ def _isect_kernel(offs_ref, cnts_ref, blk_ref, rays_hbm, t_out, p_out,
     count = cnts_ref[ci]
     n_groups = pl.cdiv(count, _GROUP)
 
-    # Ranges are unaligned/contiguous; DMA handles arbitrary offsets. A
-    # group's tail spills into later clusters' ranges — the sequential grid
-    # guarantees the owning program writes those slots last (and each
-    # program drains its output DMAs before finishing), so spill is benign.
+    # Ranges are 128-aligned by the binning's sort fillers (Mosaic demands
+    # provable lane alignment for DMA offsets — the multiple_of hint
+    # asserts it). A group's 512-wide tail spills into later clusters'
+    # ranges — the sequential grid guarantees the owning program writes
+    # those slots last (and each program drains its output DMAs before
+    # finishing), so spill is benign.
     def in_dma(slot, g):
-        base = start + g * _GROUP
+        base = pl.multiple_of(start + g * _GROUP, 128)
         return pltpu.make_async_copy(
             rays_hbm.at[:, pl.ds(base, _GROUP)], rscr.at[slot], in_sem.at[slot]
         )
 
     def out_dma_t(slot, g):
-        base = start + g * _GROUP
+        base = pl.multiple_of(start + g * _GROUP, 128)
         return pltpu.make_async_copy(
             tscr.at[slot], t_out.at[:, pl.ds(base, _GROUP)], out_sem.at[slot, 0]
         )
 
     def out_dma_p(slot, g):
-        base = start + g * _GROUP
+        base = pl.multiple_of(start + g * _GROUP, 128)
         return pltpu.make_async_copy(
             pscr.at[slot], p_out.at[:, pl.ds(base, _GROUP)], out_sem.at[slot, 1]
         )
@@ -479,21 +481,43 @@ def _round_body(scene, o, d, best_t, best_p, t_lo, id_lo, live, *,
     # components and original index as payload operands. No gathers, no
     # scatters, no searchsorted over pair-sized arrays (all measured
     # latency-bound on TPU); range bookkeeping is C-sized.
+    #
+    # Mosaic requires 128-lane-aligned DMA offsets, so per-cluster ranges
+    # are aligned BY THE SORT ITSELF: 128 filler elements per cluster ride
+    # along, keyed to their cluster exactly `(-count) % 128` times (the
+    # rest key to the trash bin at c). Stable sorting then leaves every
+    # cluster's range a multiple of 128 long at an aligned offset.
     flat_ids = ids[:m].reshape(-1)  # pair p = s*rb + r
     key = jnp.where(flat_ids >= 0, flat_ids, c).astype(jnp.int32)
-    payload = jnp.arange(rb * m, dtype=jnp.int32)
-    tile = lambda x: jnp.tile(x, m)
+    counts0 = jax.ops.segment_sum(
+        jnp.ones_like(key), key, num_segments=c + 1
+    )[:c].astype(jnp.int32)
+    deficit = (-counts0) % 128
+    fk = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
+    fj = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+    fill_key = jnp.where(fj < deficit[:, None], fk, c).reshape(-1)
+
+    npair = rb * m
+    nfill = c * 128
+    tot = npair + nfill
+    key_all = jnp.concatenate([key, fill_key])
+    payload = jnp.arange(tot, dtype=jnp.int32)
+    tile = lambda x, v: jnp.concatenate(
+        [jnp.tile(x, m), jnp.full(nfill, v, jnp.float32)]
+    )
     skey, sox, soy, soz, sdx, sdy, sdz, spay = jax.lax.sort(
-        [key, tile(o[:, 0]), tile(o[:, 1]), tile(o[:, 2]),
-         tile(d[:, 0]), tile(d[:, 1]), tile(d[:, 2]), payload],
+        [key_all,
+         tile(o[:, 0], 0.0), tile(o[:, 1], 0.0), tile(o[:, 2], 0.0),
+         tile(d[:, 0], 0.0), tile(d[:, 1], 0.0), tile(d[:, 2], 1.0),
+         payload],
         num_keys=1,
     )
-    # Per-cluster contiguous ranges straight off the sorted keys.
+    # Per-cluster contiguous (now 128-aligned) ranges off the sorted keys.
     offs = jnp.searchsorted(
         skey, jnp.arange(c + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = jnp.diff(offs)
-    zero = jnp.zeros(rb * m, jnp.float32)
+    zero = jnp.zeros(tot, jnp.float32)
     rays_t = jnp.stack([sox, soy, soz, sdx, sdy, sdz, zero, zero])
     # Spill margin: the last cluster's final 512-ray group may read/write
     # past its range end.
@@ -503,13 +527,14 @@ def _round_body(scene, o, d, best_t, best_p, t_lo, id_lo, live, *,
         offs[:c], counts, scene.trv_blocks, rays_t,
         n_tiles=n_tiles, interpret=interpret,
     )
-    # Un-sort with a second (3-operand) sort by original pair index.
+    # Un-sort with a second (3-operand) sort by original index; the filler
+    # payloads (>= npair) sort to the tail and are sliced away.
     _, t_flat, p_flat = jax.lax.sort(
-        [spay, t_pairs[0, : rb * m], p_pairs[0, : rb * m]], num_keys=1
+        [spay, t_pairs[0, :tot], p_pairs[0, :tot]], num_keys=1
     )
     valid_cand = ids[:m] >= 0
-    t_cand = jnp.where(valid_cand, t_flat.reshape(m, rb), jnp.inf)
-    p_cand = p_flat.reshape(m, rb)
+    t_cand = jnp.where(valid_cand, t_flat[:npair].reshape(m, rb), jnp.inf)
+    p_cand = p_flat[:npair].reshape(m, rb)
 
     # --- Resolve (masked-min selects; no take_along_axis).
     t_new = jnp.min(t_cand, axis=0)
