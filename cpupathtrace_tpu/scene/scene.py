@@ -47,11 +47,12 @@ BSDF_MIRROR = 2
         "blk_lo", "blk_hi",
         "big_v0", "big_v1", "big_v2", "big_cull", "big_prim",
         "root_lo", "root_hi", "trv_blocks", "trv_bounds",
+        "krn_records", "krn_cl_bounds", "krn_sup_bounds",
     ],
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
-        "cluster_size", "emissive_all_tri", "n_big",
+        "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +132,14 @@ class SceneData:
     # bounds [C, 8] (lo3 hi3 pad2) for the SMEM candidate scan.
     trv_blocks: jnp.ndarray
     trv_bounds: jnp.ndarray
+    # IN-KERNEL traversal tiers (accel/kernel_traverse.py) — an independent
+    # 128-triangle clustering of the small partition: records [C, 24, 128]
+    # (rows v0/e1/e2/cull/prim/n0/n1/n2/mat, lanes = tris), cluster-bounds
+    # pages [S, 8, 128] (32 clusters per supercluster), supercluster
+    # bounds [S, 8] (the SMEM-resident tier). [1, ...] zeros when absent.
+    krn_records: jnp.ndarray
+    krn_cl_bounds: jnp.ndarray
+    krn_sup_bounds: jnp.ndarray
 
     # Static metadata (compile-time constants).
     n_tri: int
@@ -143,6 +152,7 @@ class SceneData:
     cl_depth: int
     cluster_size: int
     n_big: int
+    krn_cluster_size: int  # 0 = no in-kernel traversal tables
     # True when every emissive primitive is a triangle (static; used by the
     # megakernel dispatch, which handles emissive triangles only).
     emissive_all_tri: bool
@@ -150,6 +160,12 @@ class SceneData:
     @property
     def use_bvh(self) -> bool:
         return self.accel != "dense"
+
+    @property
+    def has_kernel_records(self) -> bool:
+        """True when the in-kernel cluster traversal tiers are packed
+        (binned scenes)."""
+        return self.krn_cluster_size > 0
 
     @property
     def n_prims(self) -> int:
@@ -397,6 +413,8 @@ class SceneBuilder:
                 # Balance the SMEM candidate scan (cost ~ n_clusters) against
                 # per-candidate streaming (cost ~ cluster_size); keep the
                 # cluster count in the hundreds (docs/DESIGN_large_scenes.md).
+                # The in-kernel megakernel traversal uses its OWN independent
+                # 128-triangle clustering (krn_* tables below).
                 target = max(small_idx.shape[0] // 700, 128)
                 cluster_size = int(
                     min(512, max(128, 1 << int(np.ceil(np.log2(target)))))
@@ -465,6 +483,31 @@ class SceneBuilder:
         else:
             trv_blocks = np.zeros((1, 1, 8, 128), f32)
             trv_bounds = np.zeros((1, 8), f32)
+        # In-kernel (megakernel) traversal tables: an independent
+        # 128-triangle clustering of the small partition, packed as
+        # supercluster/cluster-bounds/record tiers (accel/kernel_traverse.py).
+        krn_cluster_size = 0
+        if accel == "binned" and n_small < 2 ** 24:
+            from ..accel.kernel_traverse import pack_kernel_tables_np
+
+            kcl = build_cluster_bvh(
+                lo_tri[small_idx], hi_tri[small_idx], cluster_size=128
+            )
+            kmembers = np.where(
+                kcl.members >= 0, small_idx[np.maximum(kcl.members, 0)], -1
+            ).astype(np.int32)
+            kidx = np.maximum(kmembers, 0)
+            krn_records, krn_cl_bounds, krn_sup_bounds = pack_kernel_tables_np(
+                tri_v[0][kidx], tri_v[1][kidx], tri_v[2][kidx],
+                tri_cull[kidx] & (kmembers >= 0), kmembers,
+                tri_n[0][kidx], tri_n[1][kidx], tri_n[2][kidx],
+                tri_mat[kidx], kcl.c_lo, kcl.c_hi,
+            )
+            krn_cluster_size = 128
+        else:
+            krn_records = np.zeros((1, 24, 128), f32)
+            krn_cl_bounds = np.zeros((1, 8, 128), f32)
+            krn_sup_bounds = np.zeros((1, 8), f32)
 
         return SceneData(
             tri_v0=jnp.asarray(tri_v[0]), tri_v1=jnp.asarray(tri_v[1]), tri_v2=jnp.asarray(tri_v[2]),
@@ -495,6 +538,10 @@ class SceneBuilder:
             root_lo=jnp.asarray(root_lo), root_hi=jnp.asarray(root_hi),
             trv_blocks=jnp.asarray(trv_blocks),
             trv_bounds=jnp.asarray(trv_bounds),
+            krn_records=jnp.asarray(krn_records),
+            krn_cl_bounds=jnp.asarray(krn_cl_bounds),
+            krn_sup_bounds=jnp.asarray(krn_sup_bounds),
+            krn_cluster_size=int(krn_cluster_size),
             n_big=n_big,
             n_tri=n_tri, n_sph=n_sph,
             n_point_lights=len(self._point_lights),
