@@ -203,14 +203,18 @@ def traverse_clusters(
     scr_b/scr: SMEM scratch (8, 128)/(24, 128); sem_b/sem: DMA semaphores.
     ox..dz, best_t: (8, 128) f32; best_p: (8, 128) i32 (global prim id,
     -1 = miss). nx/ny/nz/mid updated at win time when want_normal_mat.
-    `active` ((8,128) bool or None) masks lanes that still need geometry.
+    `active` ((8,128) f32 mask — >0.5 live — or None) masks lanes that
+    still need geometry; it rides as f32 because Mosaic cannot legalize
+    i1 vectors captured across scf.for region boundaries.
     `root` (scalar bool or None) gates the whole scan. Returns the
     updated 6-tuple."""
     shp = ox.shape
     ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
 
     def bound_of(best_t):
-        return best_t if active is None else jnp.where(active, best_t, 0.0)
+        if active is None:
+            return best_t
+        return jnp.where(active > 0.5, best_t, 0.0)
 
     def sup_body(s, carry):
         best_t = carry[0]
@@ -309,13 +313,15 @@ def traverse_clusters(
 def traverse_clusters_anyhit(
     sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
     ox, oy, oz, dx, dy, dz,
-    t_lim, occluded,
+    t_lim, occluded_f,
     *,
     n_super: int,
     n_tri_rows: int,
     root=None,
 ):
-    """Any-hit (shadow) traversal: returns the updated `occluded` mask.
+    """Any-hit (shadow) traversal: returns the updated occluded mask
+    (as bool, from an f32 `occluded_f` input — see `active` in
+    traverse_clusters for why masks cross this interface as f32).
     A lane is occluded once any cluster triangle hits at t in [0, t_lim).
     Lanes with t_lim <= 0 are inactive. Tiers stop being fetched as soon
     as every lane is resolved — the visibility-query analog of the
@@ -379,7 +385,7 @@ def traverse_clusters_anyhit(
     if root is not None:
         run = run & root
 
-    occ_f = jnp.where(occluded, 1.0, 0.0)
+    occ_f = occluded_f
     occ_f = jax.lax.cond(
         run,
         lambda o: jax.lax.fori_loop(0, n_super, sup_body, o),
@@ -402,11 +408,11 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
     lim = lim_r[:]
     shp = ox.shape
     if any_hit:
-        occ = jnp.full(shp, False)
         occ = traverse_clusters_anyhit(
             sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
             ox, oy, oz, dx, dy, dz,
-            lim, occ, n_super=n_super, n_tri_rows=n_tri_rows,
+            lim, jnp.zeros(shp, jnp.float32),
+            n_super=n_super, n_tri_rows=n_tri_rows,
         )
         t_out[:] = jnp.where(occ, 1.0, jnp.inf)
         p_out[:] = jnp.where(occ, 0, -1)

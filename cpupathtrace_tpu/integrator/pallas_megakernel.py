@@ -36,11 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.scene import SceneData, BSDF_GLASS, BSDF_LAMBERTIAN, BSDF_MIRROR
 from ..core.config import RenderOptions
+from ..accel.kernel_traverse import (
+    REC_LANES,
+    REC_ROWS,
+    traverse_clusters,
+    traverse_clusters_anyhit,
+)
 
 _TRI_EPS = 1e-6
 _PD_CUTOFF = 1e-20
 _PI = 3.14159265358979323846
 _BLOCK_ROWS = 64
+# Binned scenes use smaller ray blocks: a block descends a cluster tier
+# iff ANY of its rays needs it, so fewer rays per block = tighter culling.
+_KRN_BLOCK_ROWS = 8
 _LANES = 128
 # Table loops are `fori_loop`s over SMEM rows (not unrolled), so the caps
 # bound per-bounce runtime cost, not compile time. Past ~512 triangles the
@@ -48,6 +57,9 @@ _LANES = 128
 _MAX_TRI = 512
 _MAX_SPH = 64
 _MAX_EM = 256
+# Supercluster SMEM table cap ([S, 8] f32 = 16 KB at 512): 512 * 32
+# clusters * 128 tris = ~2M triangles through the in-kernel traversal.
+_MAX_SUP = 512
 
 # Table row layouts (all f32):
 # tri: v0(0:3) e1(3:6) e2(6:9) cull(9) valid(10) n0(11:14) n1(14:17) n2(17:20)
@@ -231,10 +243,23 @@ def _tangent_frame(nx, ny, nz):
 
 
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
-                     epsilon):
+                     epsilon, n_super=0, krn_rows=0):
+    """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
+    kernel then takes three extra inputs (supercluster SMEM table, cluster
+    bounds pages, cluster records) and four scratch refs, and every
+    nearest-hit / shadow query descends the cluster tiers after the dense
+    SMEM tables (accel/kernel_traverse.py)."""
+
     def kernel(seed_ref, tri_ref, sph_ref, mat_ref, lgt_ref, em_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               r_out, g_out, b_out, coll_out):
+               *rest):
+        if n_super:
+            (sup_ref, clb_hbm, rec_hbm,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             r_out, g_out, b_out, coll_out,
+             scr_b, scr, sem_b, sem) = rest
+        else:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             r_out, g_out, b_out, coll_out) = rest
         pid = pl.program_id(0)
         shp = ox_ref.shape
         rng0 = _seed_rng(seed_ref[0] + pid * jnp.int32(1000003), shp)
@@ -251,6 +276,18 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             bt, bp, nx, ny, nz, mid = _intersect_tables(
                 tri_ref, sph_ref, n_tri, n_sph, ox, oy, oz, dx, dy, dz, True
             )
+            if n_super:
+                # Large-mesh partition: descend the cluster tiers for the
+                # nearest hit beyond the dense result. The returned prim id
+                # lives in the global space, the dense one in table space —
+                # only `>= 0` (hit) is consumed, so mixing is benign.
+                bt, bp, nx, ny, nz, mid = traverse_clusters(
+                    sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+                    ox, oy, oz, dx, dy, dz,
+                    bt, bp, nx, ny, nz, mid,
+                    n_super=n_super, n_tri_rows=krn_rows,
+                    want_normal_mat=True, active=alive_f,
+                )
             hit = alive & (bp >= 0)
             collected = collected | hit
             t_hit = jnp.where(bp >= 0, bt, 0.0)
@@ -301,6 +338,20 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 )
                 lt = jnp.where(st_p >= 0, st_t, -1.0)
                 visible = (lt < 0.0) | (lt >= dist - epsilon)
+                if n_super:
+                    # Cluster-set occlusion for lanes the dense tables left
+                    # visible; inactive lanes carry t_lim = 0.
+                    relevant = hit & lvalid & (~is_spec) & (lpd > 0.0)
+                    t_lim = jnp.where(
+                        relevant & visible, dist - epsilon, 0.0
+                    )
+                    occ = traverse_clusters_anyhit(
+                        sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+                        sox, soy, soz, ldx, ldy, ldz,
+                        t_lim, jnp.zeros(shp, jnp.float32),
+                        n_super=n_super, n_tri_rows=krn_rows,
+                    )
+                    visible = visible & ~occ
                 # Lambertian eval (specular: synthetic pdf 0 -> skip).
                 cos_s = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
                 shade = cos_s / _PI
@@ -354,8 +405,10 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 uz_s = cphi
 
                 def em_body(e, st):
+                    # cullm rides as f32: Mosaic cannot carry i1 vectors
+                    # through scf.for.
                     (spx, spy, spz, snx_, sny_, snz_, s_pd,
-                     e_r, e_g, e_b, cullm) = st
+                     e_r, e_g, e_b, cullm_f) = st
                     on = sel == e
                     is_sph = em_ref[e, 2] > 0.5
                     v0x, v0y, v0z = em_ref[e, 3], em_ref[e, 4], em_ref[e, 5]
@@ -387,12 +440,14 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     sny_ = jnp.where(on, fny, sny_)
                     snz_ = jnp.where(on, fnz, snz_)
                     s_pd = jnp.where(on, em_ref[e, 1] * em_ref[e, 15], s_pd)
-                    cullm = cullm | (on & (em_ref[e, 16] > 0.5))
+                    cullm_f = jnp.where(
+                        on & (em_ref[e, 16] > 0.5), 1.0, cullm_f
+                    )
                     e_r = jnp.where(on, em_ref[e, 17], e_r)
                     e_g = jnp.where(on, em_ref[e, 18], e_g)
                     e_b = jnp.where(on, em_ref[e, 19], e_b)
                     return (spx, spy, spz, snx_, sny_, snz_, s_pd,
-                            e_r, e_g, e_b, cullm)
+                            e_r, e_g, e_b, cullm_f)
 
                 st0 = (
                     jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
@@ -400,12 +455,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     jnp.ones(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
                     jnp.ones(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
                     jnp.zeros(shp, jnp.float32), jnp.zeros(shp, jnp.float32),
-                    jnp.full(shp, False),
+                    jnp.zeros(shp, jnp.float32),
                 )
                 (spx, spy, spz, snx_, sny_, snz_, s_pd,
-                 e_r, e_g, e_b, cullm) = jax.lax.fori_loop(
+                 e_r, e_g, e_b, cullm_f) = jax.lax.fori_loop(
                     0, n_em, em_body, st0
                 )
+                cullm = cullm_f > 0.5
                 # Area -> solid angle conversion (ref: scene.cpp:280).
                 tlx = spx - pxp
                 tly = spy - pyp
@@ -573,7 +629,21 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
 
 def megakernel_supported(scene: SceneData) -> bool:
     """Static (trace-safe) check: the SMEM tables fit. Emissive spheres and
-    triangles are both supported; large meshes use the binned path."""
+    triangles are both supported. Binned scenes route the large-mesh
+    partition through the in-kernel cluster traversal; only the dense
+    (big-triangle) partition must fit the tables then."""
+    if scene.has_kernel_records:
+        return (
+            scene.big_v0.shape[0] <= _MAX_TRI
+            and scene.sph_center.shape[0] <= _MAX_SPH
+            and scene.emissive_cdf.shape[0] <= _MAX_EM
+            and scene.krn_sup_bounds.shape[0] <= _MAX_SUP
+            # Emissive prims must live in the dense partition: the NEE
+            # table resolves their geometry from the dense rows, and
+            # keeping emitters out of the cluster set spares shadow rays
+            # a cluster descent that ends just short of the light.
+            and scene.emissive_in_dense
+        )
     return (
         scene.tri_v0.shape[0] <= _MAX_TRI
         and scene.sph_center.shape[0] <= _MAX_SPH
@@ -585,17 +655,38 @@ def _pack_tables(scene: SceneData):
     """jnp packing of the SMEM tables — trace-safe (XLA hoists the tiny
     assembly when the scene is a constant and fuses it when traced)."""
     f32 = jnp.float32
-    tri_v0 = scene.tri_v0
+    if scene.has_kernel_records:
+        # Binned scene: the dense table holds only the big-triangle
+        # partition (walls/planes/emitters); the clustered mesh rides the
+        # krn_* tiers through the in-kernel traversal.
+        idx = jnp.maximum(scene.big_prim, 0)
+        tri_v0 = scene.big_v0
+        tri_e1 = scene.big_v1 - tri_v0
+        tri_e2 = scene.big_v2 - tri_v0
+        tri_cull = scene.big_cull
+        tri_valid = scene.big_prim >= 0
+        tri_n0 = scene.tri_n0[idx]
+        tri_n1 = scene.tri_n1[idx]
+        tri_n2 = scene.tri_n2[idx]
+        tri_mat = scene.tri_material[idx]
+    else:
+        tri_v0 = scene.tri_v0
+        tri_e1 = scene.tri_v1 - tri_v0
+        tri_e2 = scene.tri_v2 - tri_v0
+        tri_cull = scene.tri_cull
+        tri_valid = scene.tri_valid
+        tri_n0, tri_n1, tri_n2 = scene.tri_n0, scene.tri_n1, scene.tri_n2
+        tri_mat = scene.tri_material
     n_rows = tri_v0.shape[0]
     tri = jnp.concatenate(
         [
             tri_v0,
-            scene.tri_v1 - tri_v0,
-            scene.tri_v2 - tri_v0,
-            scene.tri_cull.astype(f32)[:, None],
-            scene.tri_valid.astype(f32)[:, None],
-            scene.tri_n0, scene.tri_n1, scene.tri_n2,
-            scene.tri_material.astype(f32)[:, None],
+            tri_e1,
+            tri_e2,
+            tri_cull.astype(f32)[:, None],
+            tri_valid.astype(f32)[:, None],
+            tri_n0, tri_n1, tri_n2,
+            tri_mat.astype(f32)[:, None],
             jnp.zeros((n_rows, _TRI_COLS - 21), f32),
         ],
         axis=1,
@@ -682,37 +773,59 @@ def _pack_tables(scene: SceneData):
 @functools.partial(
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
-                     "max_depth", "epsilon"),
+                     "max_depth", "epsilon", "n_super", "krn_rows",
+                     "block_rows"),
 )
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
-               em_k, max_depth, epsilon):
-    tri, sph, mat, lgt, em = tables
+               em_k, max_depth, epsilon, n_super=0, krn_rows=0,
+               block_rows=_BLOCK_ROWS):
+    tri, sph, mat, lgt, em, sup, clb, rec = tables
     rows = comps[0].shape[0]
-    grid = (rows // _BLOCK_ROWS,)
+    grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec(
-        (_BLOCK_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
     )
     kernel = _make_megakernel(
-        n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon
+        n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
+        n_super=n_super, krn_rows=krn_rows,
     )
+    table_specs = [
+        smem((1,)),
+        smem(tri.shape), smem(sph.shape), smem(mat.shape),
+        smem(lgt.shape), smem(em.shape),
+    ]
+    table_args = [seed, tri, sph, mat, lgt, em]
+    scratch = []
+    if n_super:
+        # Cluster tiers: supercluster bounds resident in SMEM; cluster
+        # bounds pages + triangle records stay in HBM and are DMA'd into
+        # the SMEM scratch on descent (kernel_traverse.py).
+        table_specs += [
+            smem(sup.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        table_args += [sup, clb, rec]
+        scratch = [
+            pltpu.SMEM((8, 128), jnp.float32),
+            pltpu.SMEM((REC_ROWS, REC_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            smem((1,)),
-            smem(tri.shape), smem(sph.shape), smem(mat.shape),
-            smem(lgt.shape), smem(em.shape),
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-        ],
+        in_specs=table_specs + [ray_spec] * 6,
         out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
             for _ in range(4)
         ],
-    )(seed, tri, sph, mat, lgt, em, *comps)
+        scratch_shapes=scratch,
+    )(*table_args, *comps)
 
 
 def trace_megakernel(
@@ -730,10 +843,26 @@ def trace_megakernel(
     """
     if tables is None:
         tables = _pack_tables(scene)
+    if scene.has_kernel_records:
+        n_super = int(scene.krn_sup_bounds.shape[0])
+        krn_rows = int(min(scene.krn_cluster_size, REC_LANES))
+        n_tri_tbl = int(scene.big_v0.shape[0])
+        # Smaller blocks sharpen the per-block cluster culling (a block
+        # descends a tier iff ANY of its rays needs it).
+        block_rows = _KRN_BLOCK_ROWS
+        tables = tables + (
+            scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
+        )
+    else:
+        n_super = krn_rows = 0
+        n_tri_tbl = int(scene.tri_v0.shape[0])
+        block_rows = _BLOCK_ROWS
+        z = jnp.zeros((1,), jnp.float32)
+        tables = tables + (z, z, z)
     o = rays.origin
     d = rays.direction
     r = o.shape[0]
-    block = _BLOCK_ROWS * _LANES
+    block = block_rows * _LANES
     pad = (-r) % block
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -745,10 +874,11 @@ def trace_megakernel(
     seed_arr = jnp.asarray([seed], jnp.int32)
     out_r, out_g, out_b, coll = _mega_call(
         tables, seed_arr, comps,
-        n_tri=int(scene.tri_v0.shape[0]), n_sph=int(scene.sph_center.shape[0]),
+        n_tri=n_tri_tbl, n_sph=int(scene.sph_center.shape[0]),
         n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
         n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
         max_depth=int(options.max_depth), epsilon=float(options.epsilon),
+        n_super=n_super, krn_rows=krn_rows, block_rows=block_rows,
     )
     coll = coll.reshape(-1)[:r] > 0.5
     spectrum = jnp.stack(

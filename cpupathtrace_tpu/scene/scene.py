@@ -53,6 +53,7 @@ BSDF_MIRROR = 2
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
         "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
+        "emissive_in_dense",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +157,10 @@ class SceneData:
     # True when every emissive primitive is a triangle (static; used by the
     # megakernel dispatch, which handles emissive triangles only).
     emissive_all_tri: bool
+    # True when every emissive primitive lives in the dense megakernel
+    # tables (spheres, or — for binned scenes — big-partition triangles).
+    # Required by the megakernel's in-kernel cluster traversal path.
+    emissive_in_dense: bool = True
 
     @property
     def use_bvh(self) -> bool:
@@ -368,6 +373,16 @@ class SceneBuilder:
             )
             scene_diag = float(np.linalg.norm(scene_hi - scene_lo))
             big_mask = tri_diag > big_diag_frac * max(scene_diag, 1e-30)
+            # Emissive triangles are forced into the dense partition (when
+            # few): the megakernel's NEE resolves emitter geometry from the
+            # dense tables, and keeping emitters out of the cluster set
+            # spares every shadow ray a cluster descent that ends just
+            # short of the light.
+            em_tri = np.asarray(
+                [p for p in em_prims if p < n_tri], np.int64
+            )
+            if em_tri.size and em_tri.size <= 256:
+                big_mask[em_tri] = True
         else:
             big_mask = np.zeros(0, bool)
         n_small = int(n_tri - big_mask.sum())
@@ -509,6 +524,13 @@ class SceneBuilder:
             krn_cl_bounds = np.zeros((1, 8, 128), f32)
             krn_sup_bounds = np.zeros((1, 8), f32)
 
+        if accel == "binned":
+            emissive_in_dense = all(
+                bool(big_mask[p]) for p in em_prims if p < n_tri
+            )
+        else:
+            emissive_in_dense = True
+
         return SceneData(
             tri_v0=jnp.asarray(tri_v[0]), tri_v1=jnp.asarray(tri_v[1]), tri_v2=jnp.asarray(tri_v[2]),
             tri_n0=jnp.asarray(tri_n[0]), tri_n1=jnp.asarray(tri_n[1]), tri_n2=jnp.asarray(tri_n[2]),
@@ -550,6 +572,7 @@ class SceneBuilder:
             accel=accel,
             bvh_depth=int(bvh.depth),
             emissive_all_tri=bool(all(int(x) < n_tri for x in em_prims)),
+            emissive_in_dense=bool(emissive_in_dense),
             cl_depth=int(cl_depth),
             cluster_size=int(cluster_size),
         )
