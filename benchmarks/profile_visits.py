@@ -1,0 +1,57 @@
+"""Profile: traversal visit counters on the dragon bench workload."""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from cpupathtrace_tpu.core.config import RenderOptions
+from cpupathtrace_tpu.models.scenes import bench_camera, bench_dragon_scene
+from cpupathtrace_tpu.integrator.film import pixel_camera_coords
+from cpupathtrace_tpu.camera.camera import shoot_rays
+from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
+
+W = H = 128
+SPP = 16
+
+t0 = time.time()
+scene = bench_dragon_scene(dragon_tris=200000, accel="binned")
+camera = bench_camera()
+options = RenderOptions(W, H, SPP, SPP, epsilon=1e-3, max_depth=40)
+print(f"# scene built {time.time()-t0:.1f}s  n_super="
+      f"{scene.krn_sup_bounds.shape[0]}", flush=True)
+
+xg, yg = np.meshgrid(np.arange(W, dtype=np.float32),
+                     np.arange(H, dtype=np.float32))
+x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
+xs = jnp.tile(jnp.asarray(x_cam, jnp.float32), SPP)
+ys = jnp.tile(jnp.asarray(y_cam, jnp.float32), SPP)
+key = jax.random.PRNGKey(0)
+rays = shoot_rays(camera, xs, ys, 1.0 / W, 1.0 / H, key)
+
+fn = jax.jit(lambda r: trace_megakernel(scene, r, options, 7,
+                                        debug_visits=True))
+t0 = time.time()
+spectrum, coll, vis = fn(rays)
+vis = np.asarray(vis)
+print(f"# compile+run {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+spectrum, coll, vis = fn(rays)
+vis = np.asarray(vis)
+spectrum = np.asarray(spectrum)
+dt = time.time() - t0
+n_blocks = vis.shape[0]
+tot = vis.sum(axis=0)
+print(f"# run {dt*1000:.1f} ms  ({W*H*SPP/dt/1e6:.3f} Mrays/s)  "
+      f"blocks={n_blocks}")
+print(f"# nearest: sup descends {tot[0]}  record visits {tot[1]} "
+      f"(avg/blk {tot[0]/n_blocks:.1f} / {tot[1]/n_blocks:.1f})")
+print(f"# shadow : sup descends {tot[2]}  record visits {tot[3]} "
+      f"(avg/blk {tot[2]/n_blocks:.1f} / {tot[3]/n_blocks:.1f})")
+print(f"# per-block rec visit quantiles (nearest): "
+      f"{np.percentile(vis[:,1], [0,25,50,75,95,100]).astype(int)}")
+print(f"# per-block rec visit quantiles (shadow) : "
+      f"{np.percentile(vis[:,3], [0,25,50,75,95,100]).astype(int)}")
+print(f"# mean rgb {spectrum[:, :3].mean():.5f}")

@@ -195,6 +195,7 @@ def traverse_clusters(
     want_normal_mat: bool,
     active=None,
     root=None,
+    visit_ref=None,
 ):
     """Nearest-hit over the cluster set, inlined into a Pallas kernel.
 
@@ -207,7 +208,11 @@ def traverse_clusters(
     still need geometry; it rides as f32 because Mosaic cannot legalize
     i1 vectors captured across scf.for region boundaries.
     `root` (scalar bool or None) gates the whole scan. Returns the
-    updated 6-tuple."""
+    updated 6-tuple.
+
+    `visit_ref` (optional SMEM (4,) i32 scratch): profiling counters —
+    [0] += 1 per supercluster descend, [1] += 1 per cluster-record visit
+    (this pass uses slots 0/1; the any-hit pass uses 2/3)."""
     shp = ox.shape
     ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
 
@@ -230,6 +235,8 @@ def traverse_clusters(
         )
 
         def descend(carry):
+            if visit_ref is not None:
+                visit_ref[0] = visit_ref[0] + 1
             cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_b, sem_b)
             cpb.start()
             cpb.wait()
@@ -249,6 +256,8 @@ def traverse_clusters(
 
                 def resident(carry):
                     best_t, best_p, nx, ny, nz, mid = carry
+                    if visit_ref is not None:
+                        visit_ref[1] = visit_ref[1] + 1
                     cp = pltpu.make_async_copy(
                         rec_hbm.at[s * GROUP + g], scr, sem
                     )
@@ -318,6 +327,7 @@ def traverse_clusters_anyhit(
     n_super: int,
     n_tri_rows: int,
     root=None,
+    visit_ref=None,
 ):
     """Any-hit (shadow) traversal: returns the updated occluded mask
     (as bool, from an f32 `occluded_f` input — see `active` in
@@ -343,6 +353,8 @@ def traverse_clusters_anyhit(
         )
 
         def descend(occ_f):
+            if visit_ref is not None:
+                visit_ref[2] = visit_ref[2] + 1
             cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_b, sem_b)
             cpb.start()
             cpb.wait()
@@ -360,6 +372,8 @@ def traverse_clusters_anyhit(
                 )
 
                 def resident(occ_f):
+                    if visit_ref is not None:
+                        visit_ref[3] = visit_ref[3] + 1
                     cp = pltpu.make_async_copy(
                         rec_hbm.at[s * GROUP + g], scr, sem
                     )

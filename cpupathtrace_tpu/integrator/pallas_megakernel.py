@@ -243,7 +243,7 @@ def _tangent_frame(nx, ny, nz):
 
 
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
-                     epsilon, n_super=0, krn_rows=0):
+                     epsilon, n_super=0, krn_rows=0, debug_visits=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes three extra inputs (supercluster SMEM table, cluster
     bounds pages, cluster records) and four scratch refs, and every
@@ -252,11 +252,20 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
 
     def kernel(seed_ref, tri_ref, sph_ref, mat_ref, lgt_ref, em_ref,
                *rest):
+        vis_ref = None
         if n_super:
-            (sup_ref, clb_hbm, rec_hbm,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-             r_out, g_out, b_out, coll_out,
-             scr_b, scr, sem_b, sem) = rest
+            if debug_visits:
+                (sup_ref, clb_hbm, rec_hbm,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 r_out, g_out, b_out, coll_out, vis_out,
+                 scr_b, scr, sem_b, sem, vis_ref) = rest
+                for c in range(4):
+                    vis_ref[c] = 0
+            else:
+                (sup_ref, clb_hbm, rec_hbm,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 r_out, g_out, b_out, coll_out,
+                 scr_b, scr, sem_b, sem) = rest
         else:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
              r_out, g_out, b_out, coll_out) = rest
@@ -287,6 +296,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super, n_tri_rows=krn_rows,
                     want_normal_mat=True, active=alive_f,
+                    visit_ref=vis_ref,
                 )
             hit = alive & (bp >= 0)
             collected = collected | hit
@@ -350,6 +360,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super, n_tri_rows=krn_rows,
+                        visit_ref=vis_ref,
                     )
                     visible = visible & ~occ
                 # Lambertian eval (specular: synthetic pdf 0 -> skip).
@@ -623,6 +634,9 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
         g_out[:] = st[11]
         b_out[:] = st[12]
         coll_out[:] = st[16]
+        if vis_ref is not None:
+            for c in range(4):
+                vis_out[pl.program_id(0), c] = vis_ref[c]
 
     return kernel
 
@@ -774,11 +788,11 @@ def _pack_tables(scene: SceneData):
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "max_depth", "epsilon", "n_super", "krn_rows",
-                     "block_rows"),
+                     "block_rows", "debug_visits"),
 )
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
                em_k, max_depth, epsilon, n_super=0, krn_rows=0,
-               block_rows=_BLOCK_ROWS):
+               block_rows=_BLOCK_ROWS, debug_visits=False):
     tri, sph, mat, lgt, em, sup, clb, rec = tables
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
@@ -788,9 +802,10 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
     )
+    debug_visits = bool(debug_visits and n_super)
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
-        n_super=n_super, krn_rows=krn_rows,
+        n_super=n_super, krn_rows=krn_rows, debug_visits=debug_visits,
     )
     table_specs = [
         smem((1,)),
@@ -799,6 +814,10 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
     ]
     table_args = [seed, tri, sph, mat, lgt, em]
     scratch = []
+    out_specs = [ray_spec, ray_spec, ray_spec, ray_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, _LANES), jnp.float32) for _ in range(4)
+    ]
     if n_super:
         # Cluster tiers: supercluster bounds resident in SMEM; cluster
         # bounds pages + triangle records stay in HBM and are DMA'd into
@@ -815,15 +834,26 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
+        if debug_visits:
+            # Per-block traversal counters (profiling only):
+            # [nearest supercluster descends, nearest record visits,
+            #  shadow supercluster descends, shadow record visits].
+            # Full-array SMEM block (Mosaic rejects partial SMEM tiles);
+            # each grid step writes its own row via program_id.
+            out_specs = out_specs + [
+                pl.BlockSpec((grid[0], 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+            ]
+            out_shape = out_shape + [
+                jax.ShapeDtypeStruct((grid[0], 4), jnp.int32)
+            ]
+            scratch = scratch + [pltpu.SMEM((4,), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=table_specs + [ray_spec] * 6,
-        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
-            for _ in range(4)
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
     )(*table_args, *comps)
 
@@ -834,12 +864,16 @@ def trace_megakernel(
     options: RenderOptions,
     seed,
     tables=None,
+    debug_visits=False,
 ):
     """Full-path trace of a ray batch via the megakernel.
 
     rays: Rays with [R,3] origin/direction. seed: int32 scalar (NOT a
     threefry key — the kernel uses the TPU per-core PRNG). Returns
-    (spectrum [R,4] with alpha=collected, collected [R] bool).
+    (spectrum [R,4] with alpha=collected, collected [R] bool); with
+    debug_visits (profiling, binned scenes only) additionally a
+    [n_blocks, 4] i32 array of traversal counters per ray block
+    (nearest sup/rec, shadow sup/rec — see kernel_traverse.py).
     """
     if tables is None:
         tables = _pack_tables(scene)
@@ -872,14 +906,16 @@ def trace_megakernel(
     rows = (r + pad) // _LANES
     comps = [arr[:, j].reshape(rows, _LANES) for arr in (o, d) for j in range(3)]
     seed_arr = jnp.asarray([seed], jnp.int32)
-    out_r, out_g, out_b, coll = _mega_call(
+    outs = _mega_call(
         tables, seed_arr, comps,
         n_tri=n_tri_tbl, n_sph=int(scene.sph_center.shape[0]),
         n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
         n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
         max_depth=int(options.max_depth), epsilon=float(options.epsilon),
         n_super=n_super, krn_rows=krn_rows, block_rows=block_rows,
+        debug_visits=bool(debug_visits and n_super),
     )
+    out_r, out_g, out_b, coll = outs[:4]
     coll = coll.reshape(-1)[:r] > 0.5
     spectrum = jnp.stack(
         [
@@ -890,4 +926,6 @@ def trace_megakernel(
         ],
         axis=-1,
     )
+    if debug_visits and n_super:
+        return spectrum, coll, outs[4]
     return spectrum, coll
