@@ -37,8 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.scene import SceneData, BSDF_GLASS, BSDF_LAMBERTIAN, BSDF_MIRROR
 from ..core.config import RenderOptions
 from ..accel.kernel_traverse import (
+    PAIR_COLS,
     REC_LANES,
-    REC_ROWS,
     traverse_clusters,
     traverse_clusters_anyhit,
 )
@@ -243,7 +243,7 @@ def _tangent_frame(nx, ny, nz):
 
 
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
-                     epsilon, n_super=0, krn_rows=0, debug_visits=False):
+                     epsilon, n_super=0, debug_visits=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes three extra inputs (supercluster SMEM table, cluster
     bounds pages, cluster records) and four scratch refs, and every
@@ -294,7 +294,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
                     ox, oy, oz, dx, dy, dz,
                     bt, bp, nx, ny, nz, mid,
-                    n_super=n_super, n_tri_rows=krn_rows,
+                    n_super=n_super,
                     want_normal_mat=True, active=alive_f,
                     visit_ref=vis_ref,
                 )
@@ -359,7 +359,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
-                        n_super=n_super, n_tri_rows=krn_rows,
+                        n_super=n_super,
                         visit_ref=vis_ref,
                     )
                     visible = visible & ~occ
@@ -787,11 +787,11 @@ def _pack_tables(scene: SceneData):
 @functools.partial(
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
-                     "max_depth", "epsilon", "n_super", "krn_rows",
+                     "max_depth", "epsilon", "n_super",
                      "block_rows", "debug_visits"),
 )
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
-               em_k, max_depth, epsilon, n_super=0, krn_rows=0,
+               em_k, max_depth, epsilon, n_super=0,
                block_rows=_BLOCK_ROWS, debug_visits=False):
     tri, sph, mat, lgt, em, sup, clb, rec = tables
     rows = comps[0].shape[0]
@@ -805,7 +805,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
     debug_visits = bool(debug_visits and n_super)
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
-        n_super=n_super, krn_rows=krn_rows, debug_visits=debug_visits,
+        n_super=n_super, debug_visits=debug_visits,
     )
     table_specs = [
         smem((1,)),
@@ -830,7 +830,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         table_args += [sup, clb, rec]
         scratch = [
             pltpu.SMEM((8, 128), jnp.float32),
-            pltpu.SMEM((REC_ROWS, REC_LANES), jnp.float32),
+            pltpu.VMEM((REC_LANES, PAIR_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
@@ -879,7 +879,6 @@ def trace_megakernel(
         tables = _pack_tables(scene)
     if scene.has_kernel_records:
         n_super = int(scene.krn_sup_bounds.shape[0])
-        krn_rows = int(min(scene.krn_cluster_size, REC_LANES))
         n_tri_tbl = int(scene.big_v0.shape[0])
         # Smaller blocks sharpen the per-block cluster culling (a block
         # descends a tier iff ANY of its rays needs it).
@@ -888,7 +887,7 @@ def trace_megakernel(
             scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
         )
     else:
-        n_super = krn_rows = 0
+        n_super = 0
         n_tri_tbl = int(scene.tri_v0.shape[0])
         block_rows = _BLOCK_ROWS
         z = jnp.zeros((1,), jnp.float32)
@@ -912,7 +911,7 @@ def trace_megakernel(
         n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
         n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
         max_depth=int(options.max_depth), epsilon=float(options.epsilon),
-        n_super=n_super, krn_rows=krn_rows, block_rows=block_rows,
+        n_super=n_super, block_rows=block_rows,
         debug_visits=bool(debug_visits and n_super),
     )
     out_r, out_g, out_b, coll = outs[:4]

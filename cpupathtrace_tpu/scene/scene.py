@@ -520,7 +520,7 @@ class SceneBuilder:
             )
             krn_cluster_size = 128
         else:
-            krn_records = np.zeros((1, 24, 128), f32)
+            krn_records = np.zeros((1, 128, 128), f32)
             krn_cl_bounds = np.zeros((1, 8, 128), f32)
             krn_sup_bounds = np.zeros((1, 8), f32)
 

@@ -1,0 +1,142 @@
+"""In-kernel pairwise cluster traversal (accel/kernel_traverse.py) vs a
+float64 host oracle.
+
+The kernel evaluates Moller-Trumbore through the Plucker factorization
+(det = -d.N, u_num = m.e2 + d.(v0 x e2), ...) in f32; the oracle evaluates
+the same factorization in f64 over every triangle carried by the records.
+Agreement is checked on hit masks, winning t, and winning prim, with a
+small marginal set excluded (hits within an epsilon band of the f32
+decision thresholds can legitimately flip).
+
+Runs the Pallas kernel in interpret mode on CPU (hardware parity is
+covered by `bench.py --verify`).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from cpupathtrace_tpu.accel.kernel_traverse import (
+    GROUP,
+    cluster_intersect_kernel,
+)
+from cpupathtrace_tpu.models.scenes import bench_dragon_scene
+
+jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return bench_dragon_scene(dragon_tris=2000, accel="binned")
+
+
+def _oracle(scene, o, d, t_lim):
+    """f64 nearest-hit over all record triangles. Returns (t, prim)."""
+    rec = np.asarray(scene.krn_records, np.float64)  # [Cp, 128, F]
+    prim = rec[..., 17].reshape(-1)
+    live = prim >= 0
+    neg_n = rec[..., 0:3].reshape(-1, 3)[live]
+    e2 = rec[..., 3:6].reshape(-1, 3)[live]
+    v0xe2 = rec[..., 6:9].reshape(-1, 3)[live]
+    neg_e1 = rec[..., 9:12].reshape(-1, 3)[live]
+    neg_v0xe1 = rec[..., 12:15].reshape(-1, 3)[live]
+    v0n = rec[..., 15].reshape(-1)[live]
+    cull = rec[..., 16].reshape(-1)[live] > 0.5
+    prim = prim[live]
+
+    o = o.astype(np.float64)
+    d = d.astype(np.float64)
+    m = np.cross(o, d)
+    det = d @ neg_n.T                                   # [R, T]
+    un = m @ e2.T + d @ v0xe2.T
+    vn = m @ neg_e1.T + d @ neg_v0xe1.T
+    tn = -(o @ neg_n.T) - v0n[None, :]
+    sgn = np.where(det >= 0, 1.0, -1.0)
+    sd, su, sv, st = det * sgn, un * sgn, vn * sgn, tn * sgn
+    ok = (
+        (np.minimum(np.minimum(su, sv), sd - su - sv) >= 0)
+        & (st >= 0)
+        & (sd > 1e-6)
+        & (~cull[None, :] | (det > 0))
+    )
+    tv = np.where(ok, st / np.where(ok, sd, 1.0), np.inf)
+    tv = np.where(tv < t_lim[:, None], tv, np.inf)
+    best = tv.min(axis=1)
+    arg = tv.argmin(axis=1)
+    hit = np.isfinite(best)
+    return (
+        np.where(hit, best, -1.0),
+        np.where(hit, prim[arg], -1).astype(np.int32),
+    )
+
+
+def test_records_cover_small_partition(scene):
+    rec = np.asarray(scene.krn_records)
+    prims = rec[..., 17].reshape(-1)
+    prims = np.unique(prims[prims >= 0]).astype(np.int64)
+    assert rec.shape[0] % GROUP == 0
+    assert rec.shape[1] == 128
+    assert len(prims) > 1500  # the 2000-tri dragon minus the dense part
+
+
+def test_nearest_matches_oracle(scene):
+    rng = np.random.default_rng(1)
+    n = 2048
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_k, p_k = map(
+        np.asarray, cluster_intersect_kernel(scene, o, d, interpret=True)
+    )
+    t_o, p_o = _oracle(scene, o, d, np.full(n, np.inf))
+
+    hit_k = p_k >= 0
+    hit_o = p_o >= 0
+    mask_agree = (hit_k == hit_o).mean()
+    assert mask_agree > 0.995, mask_agree
+    both = hit_k & hit_o
+    assert both.sum() > 200
+    rel = np.abs(t_k[both] - t_o[both]) / np.maximum(t_o[both], 1e-9)
+    assert np.quantile(rel, 0.99) < 1e-4, rel.max()
+    # Prim may differ where two triangles hit at nearly equal t.
+    prim_agree = (p_k[both] == p_o[both]).mean()
+    assert prim_agree > 0.99, prim_agree
+
+
+def test_anyhit_matches_oracle(scene):
+    rng = np.random.default_rng(2)
+    n = 2048
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    lim = rng.uniform(0.05, 1.5, n).astype(np.float32)
+    t_k, p_k = map(
+        np.asarray,
+        cluster_intersect_kernel(
+            scene, o, d, t_max=lim, any_hit=True, interpret=True
+        ),
+    )
+    t_o, _ = _oracle(scene, o, d, lim)
+    occ_k = p_k >= 0
+    occ_o = t_o >= 0
+    # Occlusion is epsilon-marginal only when the nearest hit sits at the
+    # t_lim boundary; exclude a narrow band.
+    marginal = occ_o & (np.abs(t_o - lim) < 1e-4 * np.maximum(lim, 1.0))
+    agree = (occ_k == occ_o) | marginal
+    assert agree.mean() > 0.999, agree.mean()
+
+
+def test_inactive_lanes_skipped(scene):
+    rng = np.random.default_rng(3)
+    n = 1024
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    lim = np.zeros(n, np.float32)  # every lane inactive
+    t_k, p_k = map(
+        np.asarray,
+        cluster_intersect_kernel(
+            scene, o, d, t_max=lim, any_hit=True, interpret=True
+        ),
+    )
+    assert (p_k < 0).all()
