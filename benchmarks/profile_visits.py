@@ -31,27 +31,38 @@ ys = jnp.tile(jnp.asarray(y_cam, jnp.float32), SPP)
 key = jax.random.PRNGKey(0)
 rays = shoot_rays(camera, xs, ys, 1.0 / W, 1.0 / H, key)
 
-fn = jax.jit(lambda r: trace_megakernel(scene, r, options, 7,
-                                        debug_visits=True))
-t0 = time.time()
-spectrum, coll, vis = fn(rays)
-vis = np.asarray(vis)
-print(f"# compile+run {time.time()-t0:.1f}s", flush=True)
-t0 = time.time()
-spectrum, coll, vis = fn(rays)
-vis = np.asarray(vis)
-spectrum = np.asarray(spectrum)
-dt = time.time() - t0
+import sys
+
+depths = [int(x) for x in sys.argv[1:]] or [options.max_depth]
+prev = None
+for md in depths:
+    import dataclasses
+    opts_d = dataclasses.replace(options, max_depth=md)
+    fn = jax.jit(lambda r, o=opts_d: trace_megakernel(
+        scene, r, o, 7, debug_visits=True))
+    t0 = time.time()
+    spectrum, coll, vis = fn(rays)
+    vis = np.asarray(vis)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    spectrum, coll, vis = fn(rays)
+    vis = np.asarray(vis)
+    spectrum = np.asarray(spectrum)
+    dt = time.time() - t0
+    n_blocks = vis.shape[0]
+    tot = vis.sum(axis=0)
+    marg = "" if prev is None else (
+        f"  marginal n/s rec: {tot[1]-prev[1]} / {tot[3]-prev[3]}"
+    )
+    print(f"# depth {md:3d}: run {dt*1000:7.1f} ms "
+          f"({W*H*SPP/dt/1e6:.3f} Mrays/s)  "
+          f"nearest sup/rec {tot[0]}/{tot[1]}  "
+          f"shadow sup/rec {tot[2]}/{tot[3]}{marg}  "
+          f"(compile {compile_s:.0f}s)  rgb {spectrum[:, :3].mean():.5f}",
+          flush=True)
+    prev = tot
 n_blocks = vis.shape[0]
-tot = vis.sum(axis=0)
-print(f"# run {dt*1000:.1f} ms  ({W*H*SPP/dt/1e6:.3f} Mrays/s)  "
-      f"blocks={n_blocks}")
-print(f"# nearest: sup descends {tot[0]}  record visits {tot[1]} "
-      f"(avg/blk {tot[0]/n_blocks:.1f} / {tot[1]/n_blocks:.1f})")
-print(f"# shadow : sup descends {tot[2]}  record visits {tot[3]} "
-      f"(avg/blk {tot[2]/n_blocks:.1f} / {tot[3]/n_blocks:.1f})")
 print(f"# per-block rec visit quantiles (nearest): "
       f"{np.percentile(vis[:,1], [0,25,50,75,95,100]).astype(int)}")
 print(f"# per-block rec visit quantiles (shadow) : "
       f"{np.percentile(vis[:,3], [0,25,50,75,95,100]).astype(int)}")
-print(f"# mean rgb {spectrum[:, :3].mean():.5f}")

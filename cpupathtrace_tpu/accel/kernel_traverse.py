@@ -10,27 +10,31 @@ registers, so a full path trace issues zero intermediate HBM round trips
 (ref: the recursive in-cache BVH walk src/scene/scene.cpp:104-150 — the
 TPU analog keeps the working set on-chip instead of in L1).
 
-Three-tier layout (sized so SMEM stays bounded for arbitrarily large
-meshes — a flat [C, 8] SMEM bounds table dies at ~2k clusters):
+Everything on this path is VECTOR work: measured on v5e, serial
+`fori_loop`s with per-iteration SMEM scalar loads stall the VPU so badly
+(~0.7 us/ray/bounce for a ~40-op loop body) that they dominated whole
+frames. The three tiers are therefore all evaluated PAIRWISE:
 
   * superclusters: groups of 32 consecutive clusters (the cluster BVH
-    emits clusters in spatial order). Union AABBs in an SMEM table
-    [S, 8] — the only resident-by-default metadata (S = C/32).
-  * cluster bounds: per group, an [8, 128] component-major page
-    (rows lo/hi/valid, lanes = clusters; 32 used) DMA'd HBM->SMEM when
-    the supercluster is entered.
+    emits clusters in spatial order). Bounds live in a VMEM table
+    [Sp, 128] (sublanes = superclusters, lanes = lo3/hi3/valid); slab
+    entries for all (sup, ray) pairs are computed once per query into an
+    [Sp, 8, 128] tensor (+inf where invalid/no-hit), so the scan step is
+    one compare + reduce per supercluster.
+  * cluster bounds: per group, a [32, 128] page (sublanes = clusters,
+    lanes = lo3/hi3/valid) DMA'd HBM->VMEM on descent; pair entries
+    [32, 8, 128] computed once per descended group.
   * cluster records: up to 128 triangles, packed as PAIRWISE feature
     tables [128, 128] f32 (sublanes = triangles, lanes = Plucker/MT
     features, 28 used — see `pack_kernel_tables_np`), DMA'd HBM->VMEM
-    when the cluster is entered.
+    DOUBLE-BUFFERED: the fetch of record k overlaps the test of k-1.
 
-The record test is PAIRWISE, not a serial per-triangle loop: for each of
-the block's 8 ray rows, all (128 tris x 128 rays) Moller-Trumbore
-quantities are built as [T, R] matrices from rank-1 broadcasts
-(tri-feature column x ray-feature row) on the VPU — measured 3.1x
-faster per record than the serial fori/SMEM-scalar formulation, and the
-MXU matmul variant loses to both the f32 3-pass decomposition and the
-[5T, R] writeback. The Plucker factorization used (m = o x d):
+The record test builds all (128 tris x 128 rays) Moller-Trumbore
+quantities per ray row from rank-1 broadcasts (tri-feature column x
+ray-feature row) on the VPU — measured 3.1x faster per record than the
+serial formulation; the MXU matmul variant loses to the f32 3-pass
+decomposition and the [5T, R] writeback. The Plucker factorization
+(m = o x d):
 
     det   = -d . N                  (N = e1 x e2)
     u_num =  m . e2 + d . (v0 x e2)
@@ -89,15 +93,51 @@ GROUP = 32       # clusters per supercluster
 #   19:22 n0   22:25 n1   25:28 n2   (unnormalized vertex normals)
 _C_CULL, _C_PRIM, _C_MAT, _C_N0 = 16, 17, 18, 19
 
+# Bounds-table lanes (both tiers): lo(0:3) hi(3:6) valid(6).
+_B_LO, _B_HI, _B_VALID = 0, 3, 6
+
+
+def pack_pair_record_np(v0, v1, v2, cull, prim, n0, n1, n2, mat,
+                        rows=REC_LANES):
+    """Pack one pairwise MT record [rows, PAIR_COLS] from [L<=rows, ...]
+    triangle arrays. Padding slots carry N = 0 (det = 0 => auto-miss) and
+    prim = -1."""
+    v0 = np.asarray(v0, np.float32)
+    l = v0.shape[0]
+    if l > rows:
+        raise ValueError(f"{l} triangles > record capacity {rows}")
+    prim = np.asarray(prim, np.float32)
+    e1 = np.asarray(v1, np.float32) - v0
+    e2 = np.asarray(v2, np.float32) - v0
+    n = np.cross(e1, e2)
+    live = prim >= 0
+    n = np.where(live[..., None], n, 0.0)
+
+    rec = np.zeros((rows, PAIR_COLS), np.float32)
+    rec[:, _C_PRIM] = -1.0
+    rec[:l, 0:3] = -n
+    rec[:l, 3:6] = e2
+    rec[:l, 6:9] = np.cross(v0, e2)
+    rec[:l, 9:12] = -e1
+    rec[:l, 12:15] = -np.cross(v0, e1)
+    rec[:l, 15] = (v0 * n).sum(-1)
+    rec[:l, _C_CULL] = np.asarray(cull, np.float32)
+    rec[:l, _C_PRIM] = prim
+    rec[:l, _C_MAT] = np.asarray(mat, np.float32)
+    rec[:l, _C_N0:_C_N0 + 3] = np.asarray(n0, np.float32)
+    rec[:l, _C_N0 + 3:_C_N0 + 6] = np.asarray(n1, np.float32)
+    rec[:l, _C_N0 + 6:_C_N0 + 9] = np.asarray(n2, np.float32)
+    return rec
+
 
 def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
                           cl_n0, cl_n1, cl_n2, cl_mat, c_lo, c_hi):
     """Pack the three traversal tiers from [C, L<=128, ...] cluster arrays.
 
-    Returns (pair_records [Cp, 128, 128], cl_bounds [S, 8, 128],
-    sup_bounds [S, 8]) with Cp = S * GROUP. Padding triangle slots carry
-    N = 0 (=> det = 0 => auto-miss) and prim = -1; padding clusters carry
-    valid = 0 bounds so they are never entered."""
+    Returns (pair_records [Cp, 128, 128], cl_bounds [S, 32, 128],
+    sup_bounds [Sp, 128]) with Cp = S * GROUP and Sp = S rounded up to a
+    sublane tile. Bounds rows carry lanes lo3/hi3/valid; padding clusters
+    carry valid = 0 so they are never entered."""
     v0 = np.asarray(cl_v0, np.float32)
     c, l, _ = v0.shape
     if l > REC_LANES:
@@ -108,27 +148,14 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     s = -(-c // GROUP)
     cp = s * GROUP
 
-    e1 = np.asarray(cl_v1, np.float32) - v0
-    e2 = np.asarray(cl_v2, np.float32) - v0
-    n = np.cross(e1, e2)
-    live = prim >= 0  # [c, l]
-    # Dead slots: zero normal => det 0 => miss.
-    n = np.where(live[..., None], n, 0.0)
-
     rec = np.zeros((cp, REC_LANES, PAIR_COLS), np.float32)
     rec[:, :, _C_PRIM] = -1.0
-    rec[:c, :l, 0:3] = -n
-    rec[:c, :l, 3:6] = e2
-    rec[:c, :l, 6:9] = np.cross(v0, e2)
-    rec[:c, :l, 9:12] = -e1
-    rec[:c, :l, 12:15] = -np.cross(v0, e1)
-    rec[:c, :l, 15] = (v0 * n).sum(-1)
-    rec[:c, :l, _C_CULL] = np.asarray(cl_cull, np.float32)
-    rec[:c, :l, _C_PRIM] = prim
-    rec[:c, :l, _C_MAT] = np.asarray(cl_mat, np.float32)
-    rec[:c, :l, _C_N0:_C_N0 + 3] = np.asarray(cl_n0, np.float32)
-    rec[:c, :l, _C_N0 + 3:_C_N0 + 6] = np.asarray(cl_n1, np.float32)
-    rec[:c, :l, _C_N0 + 6:_C_N0 + 9] = np.asarray(cl_n2, np.float32)
+    rec[:c] = _pack_pair_records_batch(
+        v0, np.asarray(cl_v1, np.float32), np.asarray(cl_v2, np.float32),
+        np.asarray(cl_cull, np.float32), prim,
+        np.asarray(cl_n0, np.float32), np.asarray(cl_n1, np.float32),
+        np.asarray(cl_n2, np.float32), np.asarray(cl_mat, np.float32),
+    )
 
     lo = np.asarray(c_lo, np.float32)
     hi = np.asarray(c_hi, np.float32)
@@ -139,24 +166,50 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     lo_p[:c] = lo
     hi_p[:c] = hi
 
-    clb = np.zeros((s, 8, 128), np.float32)
+    clb = np.zeros((s, GROUP, 128), np.float32)
     lo_g = lo_p.reshape(s, GROUP, 3)
     hi_g = hi_p.reshape(s, GROUP, 3)
-    clb[:, 0:3, :GROUP] = lo_g.transpose(0, 2, 1)
-    clb[:, 3:6, :GROUP] = hi_g.transpose(0, 2, 1)
-    clb[:, 6, :GROUP] = valid.reshape(s, GROUP)
+    clb[:, :, _B_LO:_B_LO + 3] = lo_g
+    clb[:, :, _B_HI:_B_HI + 3] = hi_g
+    clb[:, :, _B_VALID] = valid.reshape(s, GROUP)
 
-    sup = np.zeros((s, 8), np.float32)
+    sp = -(-s // 8) * 8
+    sup = np.zeros((sp, 128), np.float32)
     vmask = valid.reshape(s, GROUP) > 0.5
     any_v = vmask.any(axis=1)
-    sup[:, 0:3] = np.where(
+    sup[:s, _B_LO:_B_LO + 3] = np.where(
         any_v[:, None], np.where(vmask[..., None], lo_g, np.inf).min(axis=1), 0.0
     )
-    sup[:, 3:6] = np.where(
+    sup[:s, _B_HI:_B_HI + 3] = np.where(
         any_v[:, None], np.where(vmask[..., None], hi_g, -np.inf).max(axis=1), 0.0
     )
-    sup[:, 6] = any_v.astype(np.float32)
+    sup[:s, _B_VALID] = any_v.astype(np.float32)
     return rec, clb, sup
+
+
+def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat):
+    """Vectorized pack_pair_record_np over a [C, L, ...] cluster batch."""
+    c, l, _ = v0.shape
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    live = prim >= 0
+    n = np.where(live[..., None], n, 0.0)
+    rec = np.zeros((c, REC_LANES, PAIR_COLS), np.float32)
+    rec[:, :, _C_PRIM] = -1.0
+    rec[:, :l, 0:3] = -n
+    rec[:, :l, 3:6] = e2
+    rec[:, :l, 6:9] = np.cross(v0, e2)
+    rec[:, :l, 9:12] = -e1
+    rec[:, :l, 12:15] = -np.cross(v0, e1)
+    rec[:, :l, 15] = (v0 * n).sum(-1)
+    rec[:, :l, _C_CULL] = cull
+    rec[:, :l, _C_PRIM] = prim
+    rec[:, :l, _C_MAT] = mat
+    rec[:, :l, _C_N0:_C_N0 + 3] = n0
+    rec[:, :l, _C_N0 + 3:_C_N0 + 6] = n1
+    rec[:, :l, _C_N0 + 6:_C_N0 + 9] = n2
+    return rec
 
 
 def _inv_dir(d):
@@ -166,33 +219,52 @@ def _inv_dir(d):
     return jnp.where(nz, 1.0 / jnp.where(nz, d, 1.0), _FLT_MAX)
 
 
-def _slab(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, ix, iy, iz):
-    """Vector slab test; returns (entry, tmin<=tmax & tmax>=0)."""
-    t1x, t2x = (lox - ox) * ix, (hix - ox) * ix
-    t1y, t2y = (loy - oy) * iy, (hiy - oy) * iy
-    t1z, t2z = (loz - oz) * iz, (hiz - oz) * iz
-    tmin = jnp.maximum(
-        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-        jnp.minimum(t1z, t2z),
-    )
-    tmax = jnp.minimum(
-        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-        jnp.maximum(t1z, t2z),
-    )
-    entry = jnp.maximum(tmin, 0.0)
-    return entry, (tmax >= 0.0) & (tmin <= tmax)
-
-
 def _moment(ox, oy, oz, dx, dy, dz):
     """Plucker moment m = o x d, per lane."""
     return (oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx)
 
 
-def _pair_quantities(scr, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
-    """Sign-normalized MT quantities for one ray row vs the resident record:
-    returns (sd, su, sv, st, ok) as [128 tris, 128 rays] f32/bool with
-    ok = geometric hit with t >= 0 (no t-upper-bound applied)."""
-    c = [scr[:, i:i + 1] for i in range(16)]  # [128, 1] feature columns
+def pair_slab_entries(bnd, rows_n, ox, oy, oz, ix, iy, iz):
+    """Pairwise slab entries for all (box, ray) pairs.
+
+    bnd: [B, 128] bounds table ref/array (lanes lo3/hi3/valid).
+    Returns entry' [B, rows_n, 128] f32 — the clamped slab entry where the
+    ray hits a VALID box, +inf otherwise (ref slab semantics:
+    src/scene/bounding_box.cpp:38-73)."""
+    lox = bnd[:, _B_LO:_B_LO + 1]
+    loy = bnd[:, _B_LO + 1:_B_LO + 2]
+    loz = bnd[:, _B_LO + 2:_B_LO + 3]
+    hix = bnd[:, _B_HI:_B_HI + 1]
+    hiy = bnd[:, _B_HI + 1:_B_HI + 2]
+    hiz = bnd[:, _B_HI + 2:_B_HI + 3]
+    invalid = bnd[:, _B_VALID:_B_VALID + 1] < 0.5  # [B, 1]
+
+    outs = []
+    for j in range(rows_n):
+        oxj, oyj, ozj = ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :]
+        ixj, iyj, izj = ix[j:j + 1, :], iy[j:j + 1, :], iz[j:j + 1, :]
+        t1x, t2x = (lox - oxj) * ixj, (hix - oxj) * ixj
+        t1y, t2y = (loy - oyj) * iyj, (hiy - oyj) * iyj
+        t1z, t2z = (loz - ozj) * izj, (hiz - ozj) * izj
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        miss = invalid | (tmax < 0.0) | (tmin > tmax)
+        outs.append(jnp.where(miss, _INF, jnp.maximum(tmin, 0.0)))
+    return jnp.stack(outs, axis=1)  # [B, rows_n, 128]
+
+
+def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
+    """Sign-normalized MT quantities for one ray row vs a resident record:
+    `cols` = the first 17 feature columns as [T, 1] arrays. Returns
+    (sd, su, sv, st, ok) as [T tris, 128 rays] f32/bool with ok =
+    geometric hit with t >= 0 (no t-upper-bound applied)."""
+    c = cols
     det = c[0] * djx + c[1] * djy + c[2] * djz
     un = (c[3] * mjx + c[4] * mjy + c[5] * mjz
           + c[6] * djx + c[7] * djy + c[8] * djz)
@@ -205,62 +277,30 @@ def _pair_quantities(scr, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
     sv = vn * sgn
     st = tn * sgn
     inside = jnp.minimum(jnp.minimum(su, sv), sd - su - sv)
-    cull_ok = (scr[:, _C_CULL:_C_CULL + 1] < 0.5) | (det > 0.0)
+    cull_ok = (c[_C_CULL] < 0.5) | (det > 0.0)
     ok = (inside >= 0.0) & (st >= 0.0) & (sd > _TRI_EPS) & cull_ok
     return sd, su, sv, st, ok
 
 
-def traverse_clusters(
-    sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
-    ox, oy, oz, dx, dy, dz,
-    best_t, best_p, nx, ny, nz, mid,
-    *,
-    n_super: int,
-    want_normal_mat: bool,
-    active=None,
-    root=None,
-    visit_ref=None,
-):
-    """Nearest-hit over the cluster set, inlined into a Pallas kernel.
-
-    sup_ref: SMEM [S, 8] supercluster bounds. clb_hbm: ANY [S, 8, 128]
-    cluster-bounds pages. rec_hbm: ANY [S*32, 128, 32] pairwise records.
-    scr_b: SMEM scratch (8, 128); scr: VMEM scratch (128, 32);
-    sem_b/sem: DMA semaphores.
-    ox..dz, best_t: (8, 128) f32; best_p: (8, 128) i32 (global prim id,
-    -1 = miss). nx/ny/nz/mid updated at win time when want_normal_mat.
-    `active` ((8,128) f32 mask — >0.5 live — or None) masks lanes that
-    still need geometry; it rides as f32 because Mosaic cannot legalize
-    i1 vectors captured across scf.for region boundaries.
-    `root` (scalar bool or None) gates the whole scan. Returns the
-    updated 6-tuple.
-
-    `visit_ref` (optional SMEM (4,) i32 scratch): profiling counters —
-    [0] += 1 per supercluster descend, [1] += 1 per cluster-record visit
-    (this pass uses slots 0/1; the any-hit pass uses 2/3)."""
-    shp = ox.shape
-    rows = shp[0]
-    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
-    mx, my, mz = _moment(ox, oy, oz, dx, dy, dz)
+def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
+                      state, *, want_normal_mat, enter_f=None):
+    """Nearest-hit pair test of one resident record against the whole
+    (rows, 128) ray block. `col(i)` yields record feature column i as
+    [T, 1]. state = (best_t, best_p, nx, ny, nz, mid) as (rows, 128)
+    arrays; returns the updated tuple. `enter_f` ((rows,128) f32 or None)
+    gates each ray row on having any lane that entered the cluster."""
+    rows = ox.shape[0]
+    cols = [col(i) for i in range(17)]
+    tri_rows = cols[0].shape[0]
     tri_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (REC_LANES, shp[1]), 0
+        jnp.int32, (tri_rows, ox.shape[1]), 0
     ).astype(jnp.float32)
 
-    def bound_of(best_t):
-        if active is None:
-            return best_t
-        return jnp.where(active > 0.5, best_t, 0.0)
-
-    def row_test(j, enter_f, row_state):
-        """Pair-test the resident record against ray row j (row_state =
-        per-row [1, R] slices of the six carried arrays), gated on the
-        row having any entering lane."""
-        need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
-
+    def row_test(j, row_state):
         def run(row_state):
             btj = row_state[0]
             sd, su, sv, st, ok = _pair_quantities(
-                scr,
+                cols,
                 ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
                 dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
                 mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
@@ -274,7 +314,7 @@ def traverse_clusters(
             def extract(row_state):
                 btj, bpj, nxj, nyj, nzj, midj = row_state
                 # Unique winner: lowest triangle slot among exact-t ties
-                # (matches the serial scan's first-strict-improvement).
+                # (matches a serial scan's first-strict-improvement).
                 oh0 = key == tmin
                 tsel = jnp.min(
                     jnp.where(oh0, tri_iota, jnp.float32(REC_LANES)),
@@ -282,32 +322,32 @@ def traverse_clusters(
                 )
                 ohf = jnp.where(oh0 & (tri_iota == tsel), 1.0, 0.0)
 
-                def pick(col):
-                    return jnp.sum(ohf * col, axis=0, keepdims=True)
+                def pick(c):
+                    return jnp.sum(ohf * c, axis=0, keepdims=True)
 
-                prim_w = pick(scr[:, _C_PRIM:_C_PRIM + 1])
+                prim_w = pick(col(_C_PRIM))
                 bpj = jnp.where(improved, prim_w.astype(jnp.int32), bpj)
                 if want_normal_mat:
                     sdw = jnp.maximum(pick(sd), 1e-30)
                     uw = pick(su) / sdw
                     vw = pick(sv) / sdw
                     w0 = 1.0 - uw - vw
-                    snx = (w0 * pick(scr[:, _C_N0:_C_N0 + 1])
-                           + uw * pick(scr[:, _C_N0 + 3:_C_N0 + 4])
-                           + vw * pick(scr[:, _C_N0 + 6:_C_N0 + 7]))
-                    sny = (w0 * pick(scr[:, _C_N0 + 1:_C_N0 + 2])
-                           + uw * pick(scr[:, _C_N0 + 4:_C_N0 + 5])
-                           + vw * pick(scr[:, _C_N0 + 7:_C_N0 + 8]))
-                    snz = (w0 * pick(scr[:, _C_N0 + 2:_C_N0 + 3])
-                           + uw * pick(scr[:, _C_N0 + 5:_C_N0 + 6])
-                           + vw * pick(scr[:, _C_N0 + 8:_C_N0 + 9]))
+                    snx = (w0 * pick(col(_C_N0))
+                           + uw * pick(col(_C_N0 + 3))
+                           + vw * pick(col(_C_N0 + 6)))
+                    sny = (w0 * pick(col(_C_N0 + 1))
+                           + uw * pick(col(_C_N0 + 4))
+                           + vw * pick(col(_C_N0 + 7)))
+                    snz = (w0 * pick(col(_C_N0 + 2))
+                           + uw * pick(col(_C_N0 + 5))
+                           + vw * pick(col(_C_N0 + 8)))
                     inv = jax.lax.rsqrt(
                         snx * snx + sny * sny + snz * snz + 1e-30
                     )
                     nxj = jnp.where(improved, snx * inv, nxj)
                     nyj = jnp.where(improved, sny * inv, nyj)
                     nzj = jnp.where(improved, snz * inv, nzj)
-                    mat_w = pick(scr[:, _C_MAT:_C_MAT + 1])
+                    mat_w = pick(col(_C_MAT))
                     midj = jnp.where(
                         improved, mat_w.astype(jnp.int32), midj
                     )
@@ -319,82 +359,208 @@ def traverse_clusters(
                 extract, lambda c: c, row_state,
             )
 
+        if enter_f is None:
+            return run(row_state)
+        need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
         return jax.lax.cond(need_row, run, lambda c: c, row_state)
 
-    def sup_body(s, carry):
-        best_t = carry[0]
-        bound = bound_of(best_t)
-        entry, geo = _slab(
-            sup_ref[s, 0], sup_ref[s, 1], sup_ref[s, 2],
-            sup_ref[s, 3], sup_ref[s, 4], sup_ref[s, 5],
-            ox, oy, oz, ix, iy, iz,
-        )
-        enter = geo & (entry < bound)
-        need = (sup_ref[s, 6] > 0.5) & (
-            jnp.max(jnp.where(enter, 1.0, 0.0)) > 0.5
-        )
+    out_rows = []
+    for j in range(rows):
+        row_state = tuple(a[j:j + 1, :] for a in state)
+        out_rows.append(row_test(j, row_state))
+    return tuple(
+        jnp.concatenate([r[i] for r in out_rows], axis=0)
+        for i in range(6)
+    )
 
-        def descend(carry):
-            if visit_ref is not None:
-                visit_ref[0] = visit_ref[0] + 1
-            cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_b, sem_b)
-            cpb.start()
-            cpb.wait()
 
-            def cl_body(g, carry):
-                best_t = carry[0]
-                bound = bound_of(best_t)
-                entry, geo = _slab(
-                    scr_b[0, g], scr_b[1, g], scr_b[2, g],
-                    scr_b[3, g], scr_b[4, g], scr_b[5, g],
-                    ox, oy, oz, ix, iy, iz,
-                )
-                enter = geo & (entry < bound)
-                enter_f = jnp.where(enter, 1.0, 0.0)
-                need_c = (scr_b[6, g] > 0.5) & (jnp.max(enter_f) > 0.5)
+def pair_test_anyhit(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
+                     t_lim, occ_f, *, enter_f=None):
+    """Any-hit pair test of one resident record: returns the updated
+    (rows, 128) occlusion mask (f32). The t division is avoided entirely:
+    t < t_lim iff st < t_lim * sd (sd > 0 post-normalization)."""
+    rows = ox.shape[0]
+    cols = [col(i) for i in range(17)]
 
-                def resident(carry):
-                    best_t, best_p, nx, ny, nz, mid = carry
-                    if visit_ref is not None:
-                        visit_ref[1] = visit_ref[1] + 1
-                    cp = pltpu.make_async_copy(
-                        rec_hbm.at[s * GROUP + g], scr, sem
+    def row_test(j, occ_row_j):
+        def run(occ_row_j):
+            tlj = t_lim[j:j + 1, :]
+            sd, su, sv, st, ok = _pair_quantities(
+                cols,
+                ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
+                dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
+                mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
+            )
+            hit = ok & (st < tlj * sd)
+            occ_row = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True)
+            return jnp.maximum(occ_row_j, occ_row)
+
+        if enter_f is None:
+            return run(occ_row_j)
+        need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
+        return jax.lax.cond(need_row, run, lambda o: o, occ_row_j)
+
+    return jnp.concatenate(
+        [row_test(j, occ_f[j:j + 1, :]) for j in range(rows)], axis=0
+    )
+
+
+def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
+                    sem_c, sem2,
+                    ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                    bound_fn, process_fn, carry0, n_super, run_gate,
+                    visit_ref, visit_base):
+    """Two-tier cluster scan with pairwise slab tiers and DOUBLE-BUFFERED
+    record DMA.
+
+    Supercluster slab entries are precomputed for all (sup, ray) pairs
+    (one [Sp, rows, 128] tensor per query), so each scan step is a single
+    compare + reduce — no per-iteration scalar loads. Cluster-bounds
+    pages are DMA'd [32, 128] (cluster-major) and pair-slabbed the same
+    way per descended group. The record fetch of cluster k overlaps the
+    pair test of cluster k-1: scheduling a needed record starts its DMA
+    into scr2[par], then drains (waits + processes) the previously
+    scheduled record from scr2[1-par]. The slab `enter` mask is captured
+    at schedule time — conservative under later bound tightening (bounds
+    only shrink, so every row that needs the record at process time was
+    already flagged at schedule time; stale rows just do harmless extra
+    work).
+
+    bound_fn(carry) -> (rows,128) per-lane pruning bound (0 = inactive).
+    process_fn(slot, enter_f, carry) -> carry: pair-test the record
+    resident in scr2[slot].
+    """
+    shp = ox.shape
+    rows = shp[0]
+
+    def sched(idx, enter_f, st):
+        carry, entp, have, par = st
+        if visit_ref is not None:
+            visit_ref[visit_base + 1] = visit_ref[visit_base + 1] + 1
+        pltpu.make_async_copy(
+            rec_hbm.at[idx], scr2.at[par], sem2.at[par]
+        ).start()
+
+        def drain(carry):
+            pltpu.make_async_copy(
+                rec_hbm.at[idx], scr2.at[1 - par], sem2.at[1 - par]
+            ).wait()
+            return process_fn(1 - par, entp, carry)
+
+        carry = jax.lax.cond(have > 0, drain, lambda c: c, carry)
+        return (carry, enter_f, jnp.int32(1), 1 - par)
+
+    def scan(carry0):
+        # Pair entries are staged through VMEM scratch so the per-step
+        # slice is a ref load (Mosaic has no dynamic_slice on values).
+        scr_es[:] = pair_slab_entries(
+            sup_v, rows, ox, oy, oz, ix, iy, iz
+        )  # [Sp, rows, 128]
+
+        def sup_body(s, st):
+            bound = bound_fn(st[0])
+            enter_s = scr_es[s] < bound  # (rows, 128)
+            need = jnp.max(jnp.where(enter_s, 1.0, 0.0)) > 0.5
+
+            def descend(st):
+                if visit_ref is not None:
+                    visit_ref[visit_base] = visit_ref[visit_base] + 1
+                cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_c, sem_c)
+                cpb.start()
+                cpb.wait()
+                scr_ec[:] = pair_slab_entries(
+                    scr_c, rows, ox, oy, oz, ix, iy, iz
+                )  # [GROUP, rows, 128]
+
+                def cl_body(g, st):
+                    bound = bound_fn(st[0])
+                    enter = scr_ec[g] < bound
+                    enter_f = jnp.where(enter, 1.0, 0.0)
+                    need_c = jnp.max(enter_f) > 0.5
+                    return jax.lax.cond(
+                        need_c,
+                        lambda st: sched(s * GROUP + g, enter_f, st),
+                        lambda st: st,
+                        st,
                     )
-                    cp.start()
-                    cp.wait()
-                    out_rows = []
-                    for j in range(rows):
-                        row_state = tuple(
-                            a[j:j + 1, :]
-                            for a in (best_t, best_p, nx, ny, nz, mid)
-                        )
-                        out_rows.append(row_test(j, enter_f, row_state))
-                    return tuple(
-                        jnp.concatenate([r[i] for r in out_rows], axis=0)
-                        for i in range(6)
-                    )
 
-                return jax.lax.cond(need_c, resident, lambda x: x, carry)
+                return jax.lax.fori_loop(0, GROUP, cl_body, st)
 
-            return jax.lax.fori_loop(0, GROUP, cl_body, carry)
+            return jax.lax.cond(need, descend, lambda x: x, st)
 
-        return jax.lax.cond(need, descend, lambda x: x, carry)
+        st = (carry0, jnp.zeros(shp, jnp.float32), jnp.int32(0),
+              jnp.int32(0))
+        st = jax.lax.fori_loop(0, n_super, sup_body, st)
+        carry, entp, have, par = st
 
-    bound0 = bound_of(best_t)
-    run = jnp.max(jnp.where(bound0 > 0.0, 1.0, 0.0)) > 0.5
+        def drain(carry):
+            pltpu.make_async_copy(
+                rec_hbm.at[0], scr2.at[1 - par], sem2.at[1 - par]
+            ).wait()
+            return process_fn(1 - par, entp, carry)
+
+        return jax.lax.cond(have > 0, drain, lambda c: c, carry)
+
+    return jax.lax.cond(run_gate, scan, lambda c: c, carry0)
+
+
+def traverse_clusters(
+    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+    ox, oy, oz, dx, dy, dz,
+    best_t, best_p, nx, ny, nz, mid,
+    *,
+    n_super: int,
+    want_normal_mat: bool,
+    active=None,
+    root=None,
+    visit_ref=None,
+):
+    """Nearest-hit over the cluster set, inlined into a Pallas kernel.
+
+    sup_v: VMEM [Sp, 128] supercluster bounds. clb_hbm: ANY [S, 32, 128]
+    cluster-bounds pages. rec_hbm: ANY [S*32, 128, 128] pairwise records.
+    scr_c: VMEM scratch (32, 128) (bounds page); scr2: VMEM scratch
+    (2, 128, 128) (double-buffered record pages); sem_c: DMA semaphore;
+    sem2: DMA semaphore pair.
+    ox..dz, best_t: (rows, 128) f32; best_p: (rows, 128) i32 (global prim
+    id, -1 = miss). nx/ny/nz/mid updated at win time when want_normal_mat.
+    `active` ((rows,128) f32 mask — >0.5 live — or None) masks lanes that
+    still need geometry; it rides as f32 because Mosaic cannot legalize
+    i1 vectors captured across scf.for region boundaries.
+    `root` (scalar bool or None) gates the whole scan. Returns the
+    updated 6-tuple.
+
+    `visit_ref` (optional SMEM (4,) i32 scratch): profiling counters —
+    [0] += 1 per supercluster descend, [1] += 1 per cluster-record visit
+    (this pass uses slots 0/1; the any-hit pass uses 2/3)."""
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    mx, my, mz = _moment(ox, oy, oz, dx, dy, dz)
+
+    def bound_fn(carry):
+        if active is None:
+            return carry[0]
+        return jnp.where(active > 0.5, carry[0], 0.0)
+
+    def process(slot, enter_f, carry):
+        col = lambda i: scr2[slot, :, i:i + 1]
+        return pair_test_nearest(
+            col, ox, oy, oz, dx, dy, dz, mx, my, mz, carry,
+            want_normal_mat=want_normal_mat, enter_f=enter_f,
+        )
+
+    carry0 = (best_t, best_p, nx, ny, nz, mid)
+    run_gate = jnp.max(jnp.where(bound_fn(carry0) > 0.0, 1.0, 0.0)) > 0.5
     if root is not None:
-        run = run & root
-
-    return jax.lax.cond(
-        run,
-        lambda c: jax.lax.fori_loop(0, n_super, sup_body, c),
-        lambda c: c,
-        (best_t, best_p, nx, ny, nz, mid),
+        run_gate = run_gate & root
+    return _scan_pipelined(
+        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+        ox, oy, oz, dx, dy, dz, ix, iy, iz,
+        bound_fn, process, carry0, n_super, run_gate, visit_ref, 0,
     )
 
 
 def traverse_clusters_anyhit(
-    sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     t_lim, occluded_f,
     *,
@@ -408,95 +574,27 @@ def traverse_clusters_anyhit(
     A lane is occluded once any cluster triangle hits at t in [0, t_lim).
     Lanes with t_lim <= 0 are inactive. Tiers stop being fetched as soon
     as every lane is resolved — the visibility-query analog of the
-    reference's early-out shadow test (ref: src/worker.cpp:84-100).
-    The pair test avoids the t division entirely: t < t_lim iff
-    st < t_lim * sd (sd > 0 post-normalization)."""
-    shp = ox.shape
-    rows = shp[0]
+    reference's early-out shadow test (ref: src/worker.cpp:84-100)."""
     ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
     mx, my, mz = _moment(ox, oy, oz, dx, dy, dz)
 
-    def row_test(j, enter_f, occ_row_j):
-        """Any-hit pair test for ray row j; takes and returns the [1, R]
-        occlusion row."""
-        need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
+    def bound_fn(occ_f):
+        return jnp.where(occ_f > 0.5, 0.0, t_lim)
 
-        def run(occ_row_j):
-            tlj = t_lim[j:j + 1, :]
-            sd, su, sv, st, ok = _pair_quantities(
-                scr,
-                ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
-                dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
-                mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
-            )
-            hit = ok & (st < tlj * sd)
-            occ_row = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True)
-            return jnp.maximum(occ_row_j, occ_row)
-
-        return jax.lax.cond(need_row, run, lambda o: o, occ_row_j)
-
-    def sup_body(s, occ_f):
-        pending_lim = jnp.where(occ_f > 0.5, 0.0, t_lim)
-        entry, geo = _slab(
-            sup_ref[s, 0], sup_ref[s, 1], sup_ref[s, 2],
-            sup_ref[s, 3], sup_ref[s, 4], sup_ref[s, 5],
-            ox, oy, oz, ix, iy, iz,
-        )
-        enter = geo & (entry < pending_lim)
-        need = (sup_ref[s, 6] > 0.5) & (
-            jnp.max(jnp.where(enter, 1.0, 0.0)) > 0.5
+    def process(slot, enter_f, occ_f):
+        col = lambda i: scr2[slot, :, i:i + 1]
+        return pair_test_anyhit(
+            col, ox, oy, oz, dx, dy, dz, mx, my, mz, t_lim, occ_f,
+            enter_f=enter_f,
         )
 
-        def descend(occ_f):
-            if visit_ref is not None:
-                visit_ref[2] = visit_ref[2] + 1
-            cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_b, sem_b)
-            cpb.start()
-            cpb.wait()
-
-            def cl_body(g, occ_f):
-                pending_lim = jnp.where(occ_f > 0.5, 0.0, t_lim)
-                entry, geo = _slab(
-                    scr_b[0, g], scr_b[1, g], scr_b[2, g],
-                    scr_b[3, g], scr_b[4, g], scr_b[5, g],
-                    ox, oy, oz, ix, iy, iz,
-                )
-                enter = geo & (entry < pending_lim)
-                enter_f = jnp.where(enter, 1.0, 0.0)
-                need_c = (scr_b[6, g] > 0.5) & (jnp.max(enter_f) > 0.5)
-
-                def resident(occ_f):
-                    if visit_ref is not None:
-                        visit_ref[3] = visit_ref[3] + 1
-                    cp = pltpu.make_async_copy(
-                        rec_hbm.at[s * GROUP + g], scr, sem
-                    )
-                    cp.start()
-                    cp.wait()
-                    return jnp.concatenate(
-                        [
-                            row_test(j, enter_f, occ_f[j:j + 1, :])
-                            for j in range(rows)
-                        ],
-                        axis=0,
-                    )
-
-                return jax.lax.cond(need_c, resident, lambda o: o, occ_f)
-
-            return jax.lax.fori_loop(0, GROUP, cl_body, occ_f)
-
-        return jax.lax.cond(need, descend, lambda o: o, occ_f)
-
-    run = jnp.max(jnp.where(t_lim > 0.0, 1.0, 0.0)) > 0.5
+    run_gate = jnp.max(jnp.where(t_lim > 0.0, 1.0, 0.0)) > 0.5
     if root is not None:
-        run = run & root
-
-    occ_f = occluded_f
-    occ_f = jax.lax.cond(
-        run,
-        lambda o: jax.lax.fori_loop(0, n_super, sup_body, o),
-        lambda o: o,
-        occ_f,
+        run_gate = run_gate & root
+    occ_f = _scan_pipelined(
+        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+        ox, oy, oz, dx, dy, dz, ix, iy, iz,
+        bound_fn, process, occluded_f, n_super, run_gate, visit_ref, 2,
     )
     return occ_f > 0.5
 
@@ -507,7 +605,8 @@ def traverse_clusters_anyhit(
 
 def _single_kernel(sup_ref, clb_hbm, rec_hbm,
                    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-                   lim_r, t_out, p_out, scr_b, scr, sem_b, sem,
+                   lim_r, t_out, p_out, scr_c, scr2, scr_es, scr_ec,
+                   sem_c, sem2,
                    *, n_super, any_hit):
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
@@ -515,7 +614,8 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
     shp = ox.shape
     if any_hit:
         occ = traverse_clusters_anyhit(
-            sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+            sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
+            sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             lim, jnp.zeros(shp, jnp.float32),
             n_super=n_super,
@@ -528,7 +628,8 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
         dummy = jnp.zeros(shp, jnp.float32)
         dmid = jnp.zeros(shp, jnp.int32)
         best_t, best_p, _, _, _, _ = traverse_clusters(
-            sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+            sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
+            sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             best_t, best_p, dummy, dummy, dummy, dmid,
             n_super=n_super,
@@ -555,7 +656,7 @@ def _single_call(sup, clb, records, comps, lim, n_super,
         grid=grid,
         in_specs=[
             pl.BlockSpec(sup.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ] + [ray_spec] * 7,
@@ -565,10 +666,12 @@ def _single_call(sup, clb, records, comps, lim, n_super,
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, 128), jnp.float32),
-            pltpu.VMEM((REC_LANES, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((GROUP, 128), jnp.float32),
+            pltpu.VMEM((2, REC_LANES, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((sup.shape[0], 8, 128), jnp.float32),
+            pltpu.VMEM((GROUP, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(sup, clb, records, *comps, lim)
@@ -605,7 +708,7 @@ def cluster_intersect_kernel(scene, o, d, t_max=None, any_hit=False,
     t, p = _single_call(
         scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
         comps, lim2,
-        n_super=int(scene.krn_sup_bounds.shape[0]),
+        n_super=int(scene.krn_cl_bounds.shape[0]),
         any_hit=any_hit, interpret=interpret,
     )
     t = t.reshape(-1)[:r]

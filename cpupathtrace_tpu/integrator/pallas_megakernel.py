@@ -27,6 +27,7 @@ Scope: "dense-table" scenes — up to _MAX_TRI triangles + _MAX_SPH spheres
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.scene import SceneData, BSDF_GLASS, BSDF_LAMBERTIAN, BSDF_MIRROR
 from ..core.config import RenderOptions
 from ..accel.kernel_traverse import (
+    GROUP,
     PAIR_COLS,
     REC_LANES,
+    _moment,
+    pair_test_anyhit,
+    pair_test_nearest,
     traverse_clusters,
     traverse_clusters_anyhit,
 )
@@ -242,30 +247,36 @@ def _tangent_frame(nx, ny, nz):
     return b1x, b1y, b1z, b2x * inv2, b2y * inv2, b2z * inv2
 
 
+_SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
+
+
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                      epsilon, n_super=0, debug_visits=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
-    kernel then takes three extra inputs (supercluster SMEM table, cluster
-    bounds pages, cluster records) and four scratch refs, and every
-    nearest-hit / shadow query descends the cluster tiers after the dense
-    SMEM tables (accel/kernel_traverse.py)."""
+    kernel then takes four extra inputs (supercluster VMEM bounds, cluster
+    bounds pages, cluster records, big-partition pair record) and four
+    scratch refs. On this path the dense-triangle work is PAIRWISE too:
+    the big partition (walls/emitters) rides a single always-tested pair
+    record instead of a serial SMEM fori loop — per-iteration scalar loads
+    measured ~0.7 us/ray/bounce in stalls (accel/kernel_traverse.py)."""
 
     def kernel(seed_ref, tri_ref, sph_ref, mat_ref, lgt_ref, em_ref,
                *rest):
         vis_ref = None
         if n_super:
             if debug_visits:
-                (sup_ref, clb_hbm, rec_hbm,
+                (sup_ref, clb_hbm, rec_hbm, bigp_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  r_out, g_out, b_out, coll_out, vis_out,
-                 scr_b, scr, sem_b, sem, vis_ref) = rest
+                 scr_c, scr2, scr_es, scr_ec, sem_c, sem2, vis_ref) = rest
                 for c in range(4):
                     vis_ref[c] = 0
             else:
-                (sup_ref, clb_hbm, rec_hbm,
+                (sup_ref, clb_hbm, rec_hbm, bigp_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  r_out, g_out, b_out, coll_out,
-                 scr_b, scr, sem_b, sem) = rest
+                 scr_c, scr2, scr_es, scr_ec, sem_c, sem2) = rest
+            bigp_col = lambda i: bigp_ref[:, i:i + 1]
         else:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
              r_out, g_out, b_out, coll_out) = rest
@@ -282,16 +293,29 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             collected = collected_f > 0.5
             alive = alive_f > 0.5
 
-            bt, bp, nx, ny, nz, mid = _intersect_tables(
-                tri_ref, sph_ref, n_tri, n_sph, ox, oy, oz, dx, dy, dz, True
-            )
             if n_super:
-                # Large-mesh partition: descend the cluster tiers for the
-                # nearest hit beyond the dense result. The returned prim id
-                # lives in the global space, the dense one in table space —
-                # only `>= 0` (hit) is consumed, so mixing is benign.
+                # Binned scene: spheres via the (tiny) SMEM loop, the big
+                # triangle partition via one always-tested pair record, the
+                # clustered mesh via the tiered traversal. Prim ids mix
+                # table space (spheres) and global space (triangles) — only
+                # `>= 0` (hit) is consumed, so mixing is benign.
+                bt, bp, nx, ny, nz, mid = _intersect_tables(
+                    tri_ref, sph_ref, 0, n_sph, ox, oy, oz, dx, dy, dz, True
+                )
+                mxr, myr, mzr = _moment(ox, oy, oz, dx, dy, dz)
+                bt, bp, nx, ny, nz, mid = pair_test_nearest(
+                    bigp_col, ox, oy, oz, dx, dy, dz, mxr, myr, mzr,
+                    (bt, bp, nx, ny, nz, mid), want_normal_mat=True,
+                )
+            else:
+                bt, bp, nx, ny, nz, mid = _intersect_tables(
+                    tri_ref, sph_ref, n_tri, n_sph,
+                    ox, oy, oz, dx, dy, dz, True,
+                )
+            if n_super and not _SKIP_TRAVERSE:
                 bt, bp, nx, ny, nz, mid = traverse_clusters(
-                    sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+                    sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
+                    sem_c, sem2,
                     ox, oy, oz, dx, dy, dz,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super,
@@ -343,12 +367,22 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 soy = pyp + ldy * epsilon
                 soz = pzp + ldz * epsilon
                 st_t, st_p = _intersect_tables(
-                    tri_ref, sph_ref, n_tri, n_sph,
+                    tri_ref, sph_ref, 0 if n_super else n_tri, n_sph,
                     sox, soy, soz, ldx, ldy, ldz, False,
                 )
                 lt = jnp.where(st_p >= 0, st_t, -1.0)
                 visible = (lt < 0.0) | (lt >= dist - epsilon)
                 if n_super:
+                    # Big-partition occlusion, pairwise.
+                    smx, smy, smz = _moment(sox, soy, soz, ldx, ldy, ldz)
+                    occ_big = pair_test_anyhit(
+                        bigp_col, sox, soy, soz, ldx, ldy, ldz,
+                        smx, smy, smz,
+                        jnp.maximum(dist - epsilon, 0.0),
+                        jnp.zeros(shp, jnp.float32),
+                    )
+                    visible = visible & ~(occ_big > 0.5)
+                if n_super and not _SKIP_TRAVERSE:
                     # Cluster-set occlusion for lanes the dense tables left
                     # visible; inactive lanes carry t_lim = 0.
                     relevant = hit & lvalid & (~is_spec) & (lpd > 0.0)
@@ -356,7 +390,8 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         relevant & visible, dist - epsilon, 0.0
                     )
                     occ = traverse_clusters_anyhit(
-                        sup_ref, clb_hbm, rec_hbm, scr_b, scr, sem_b, sem,
+                        sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
+                        scr_es, scr_ec, sem_c, sem2,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
@@ -648,7 +683,8 @@ def megakernel_supported(scene: SceneData) -> bool:
     (big-triangle) partition must fit the tables then."""
     if scene.has_kernel_records:
         return (
-            scene.big_v0.shape[0] <= _MAX_TRI
+            # The big partition rides ONE always-tested pair record.
+            scene.big_v0.shape[0] <= REC_LANES
             and scene.sph_center.shape[0] <= _MAX_SPH
             and scene.emissive_cdf.shape[0] <= _MAX_EM
             and scene.krn_sup_bounds.shape[0] <= _MAX_SUP
@@ -793,7 +829,7 @@ def _pack_tables(scene: SceneData):
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
                em_k, max_depth, epsilon, n_super=0,
                block_rows=_BLOCK_ROWS, debug_visits=False):
-    tri, sph, mat, lgt, em, sup, clb, rec = tables
+    tri, sph, mat, lgt, em, sup, clb, rec, bigp = tables
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec(
@@ -819,20 +855,25 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         jax.ShapeDtypeStruct((rows, _LANES), jnp.float32) for _ in range(4)
     ]
     if n_super:
-        # Cluster tiers: supercluster bounds resident in SMEM; cluster
-        # bounds pages + triangle records stay in HBM and are DMA'd into
-        # the SMEM scratch on descent (kernel_traverse.py).
+        # Cluster tiers: supercluster bounds + the big-partition pair
+        # record resident in VMEM; cluster bounds pages + triangle
+        # records stay in HBM and are DMA'd into VMEM scratch on descent
+        # (kernel_traverse.py).
+        vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         table_specs += [
-            smem(sup.shape),
+            vmem_full,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            vmem_full,
         ]
-        table_args += [sup, clb, rec]
+        table_args += [sup, clb, rec, bigp]
         scratch = [
-            pltpu.SMEM((8, 128), jnp.float32),
-            pltpu.VMEM((REC_LANES, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((GROUP, 128), jnp.float32),
+            pltpu.VMEM((2, REC_LANES, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((sup.shape[0], block_rows, 128), jnp.float32),
+            pltpu.VMEM((GROUP, block_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ]
         if debug_visits:
             # Per-block traversal counters (profiling only):
@@ -878,20 +919,23 @@ def trace_megakernel(
     if tables is None:
         tables = _pack_tables(scene)
     if scene.has_kernel_records:
-        n_super = int(scene.krn_sup_bounds.shape[0])
+        n_super = int(scene.krn_cl_bounds.shape[0])
         n_tri_tbl = int(scene.big_v0.shape[0])
         # Smaller blocks sharpen the per-block cluster culling (a block
         # descends a tier iff ANY of its rays needs it).
-        block_rows = _KRN_BLOCK_ROWS
+        block_rows = int(
+            os.environ.get("PTX_KRN_BLOCK_ROWS", _KRN_BLOCK_ROWS)
+        )
         tables = tables + (
             scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
+            scene.krn_big_pair,
         )
     else:
         n_super = 0
         n_tri_tbl = int(scene.tri_v0.shape[0])
         block_rows = _BLOCK_ROWS
         z = jnp.zeros((1,), jnp.float32)
-        tables = tables + (z, z, z)
+        tables = tables + (z, z, z, z)
     o = rays.origin
     d = rays.direction
     r = o.shape[0]

@@ -118,8 +118,14 @@ def load_mesh(
         if "\n" in source or source.strip() == "" or source.lstrip().startswith(("v ", "f ", "#")):
             text = source
         else:
-            with open(source, "r", errors="replace") as fh:
-                text = fh.read()
+            try:
+                with open(source, "r", errors="replace") as fh:
+                    text = fh.read()
+            except OSError:
+                # Not a readable path: treat as (garbage) OBJ text — the
+                # tolerant parser contract never raises (ref: mesh.cpp
+                # ignores unknown records; io::loadMesh takes a stream).
+                text = source
     if isinstance(text, bytes):
         text = text.decode("utf-8", errors="replace")
     # The reference eats leading spaces before the record tag (mesh.cpp:186).

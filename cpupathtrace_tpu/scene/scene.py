@@ -47,7 +47,7 @@ BSDF_MIRROR = 2
         "blk_lo", "blk_hi",
         "big_v0", "big_v1", "big_v2", "big_cull", "big_prim",
         "root_lo", "root_hi", "trv_blocks", "trv_bounds",
-        "krn_records", "krn_cl_bounds", "krn_sup_bounds",
+        "krn_records", "krn_cl_bounds", "krn_sup_bounds", "krn_big_pair",
     ],
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
@@ -141,6 +141,9 @@ class SceneData:
     krn_records: jnp.ndarray
     krn_cl_bounds: jnp.ndarray
     krn_sup_bounds: jnp.ndarray
+    # Big-partition pair record [128, 128] for the megakernel's
+    # always-tested dense triangle set (walls/emitters); [1, 1] when absent.
+    krn_big_pair: jnp.ndarray
 
     # Static metadata (compile-time constants).
     n_tri: int
@@ -502,8 +505,12 @@ class SceneBuilder:
         # 128-triangle clustering of the small partition, packed as
         # supercluster/cluster-bounds/record tiers (accel/kernel_traverse.py).
         krn_cluster_size = 0
+        krn_big_pair = np.zeros((1, 1), f32)
         if accel == "binned" and n_small < 2 ** 24:
-            from ..accel.kernel_traverse import pack_kernel_tables_np
+            from ..accel.kernel_traverse import (
+                pack_kernel_tables_np,
+                pack_pair_record_np,
+            )
 
             kcl = build_cluster_bvh(
                 lo_tri[small_idx], hi_tri[small_idx], cluster_size=128
@@ -519,10 +526,17 @@ class SceneBuilder:
                 tri_mat[kidx], kcl.c_lo, kcl.c_hi,
             )
             krn_cluster_size = 128
+            if n_big <= 128:
+                bidx = np.maximum(big_prim, 0)
+                krn_big_pair = pack_pair_record_np(
+                    big_v0, big_v1, big_v2, big_cull, big_prim,
+                    tri_n[0][bidx], tri_n[1][bidx], tri_n[2][bidx],
+                    tri_mat[bidx],
+                )
         else:
             krn_records = np.zeros((1, 128, 128), f32)
-            krn_cl_bounds = np.zeros((1, 8, 128), f32)
-            krn_sup_bounds = np.zeros((1, 8), f32)
+            krn_cl_bounds = np.zeros((1, 32, 128), f32)
+            krn_sup_bounds = np.zeros((8, 128), f32)
 
         if accel == "binned":
             emissive_in_dense = all(
@@ -563,6 +577,7 @@ class SceneBuilder:
             krn_records=jnp.asarray(krn_records),
             krn_cl_bounds=jnp.asarray(krn_cl_bounds),
             krn_sup_bounds=jnp.asarray(krn_sup_bounds),
+            krn_big_pair=jnp.asarray(krn_big_pair),
             krn_cluster_size=int(krn_cluster_size),
             n_big=n_big,
             n_tri=n_tri, n_sph=n_sph,
