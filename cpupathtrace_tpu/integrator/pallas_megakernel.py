@@ -248,6 +248,13 @@ def _tangent_frame(nx, ny, nz):
 
 
 _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
+# Comma-separated kernel-body ablations for perf bisection (profiling only):
+# "nee" drops next-event estimation, "bigpair" drops the big-partition pair
+# tests, "prop" replaces BSDF sampling with straight-through propagation,
+# "mat" skips the material gather.
+_ABLATE = frozenset(
+    x for x in os.environ.get("PTX_ABLATE", "").split(",") if x
+)
 
 
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
@@ -302,11 +309,12 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 bt, bp, nx, ny, nz, mid = _intersect_tables(
                     tri_ref, sph_ref, 0, n_sph, ox, oy, oz, dx, dy, dz, True
                 )
-                mxr, myr, mzr = _moment(ox, oy, oz, dx, dy, dz)
-                bt, bp, nx, ny, nz, mid = pair_test_nearest(
-                    bigp_col, ox, oy, oz, dx, dy, dz, mxr, myr, mzr,
-                    (bt, bp, nx, ny, nz, mid), want_normal_mat=True,
-                )
+                if "bigpair" not in _ABLATE:
+                    mxr, myr, mzr = _moment(ox, oy, oz, dx, dy, dz)
+                    bt, bp, nx, ny, nz, mid = pair_test_nearest(
+                        bigp_col, ox, oy, oz, dx, dy, dz, mxr, myr, mzr,
+                        (bt, bp, nx, ny, nz, mid), want_normal_mat=True,
+                    )
             else:
                 bt, bp, nx, ny, nz, mid = _intersect_tables(
                     tri_ref, sph_ref, n_tri, n_sph,
@@ -329,10 +337,17 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             pyp = oy + dy * t_hit
             pzp = oz + dz * t_hit
 
-            (md_r, md_g, md_b, ms_r, ms_g, ms_b, ior,
-             me_r, me_g, me_b, bsdf, one_way_f) = _gather_mat_all(
-                mat_ref, mid, n_mat
-            )
+            if "mat" in _ABLATE:
+                zs, os_ = jnp.zeros(shp, jnp.float32), jnp.ones(shp, jnp.float32)
+                (md_r, md_g, md_b, ms_r, ms_g, ms_b, ior,
+                 me_r, me_g, me_b, bsdf, one_way_f) = (
+                    os_ * 0.5, os_ * 0.5, os_ * 0.5, zs, zs, zs, os_ * 1.5,
+                    zs + 0.05, zs + 0.05, zs + 0.05, zs, zs)
+            else:
+                (md_r, md_g, md_b, ms_r, ms_g, ms_b, ior,
+                 me_r, me_g, me_b, bsdf, one_way_f) = _gather_mat_all(
+                    mat_ref, mid, n_mat
+                )
             one_way = one_way_f > 0.5
             is_glass = bsdf == jnp.float32(BSDF_GLASS)
             is_mirror = bsdf == jnp.float32(BSDF_MIRROR)
@@ -354,8 +369,10 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             do_bounce = u_rt < bpv
 
             # ---- Next-event estimation ----------------------------------
-            def nee_accumulate(lx, ly, lz, ls_r, ls_g, ls_b, lpd, lvalid,
-                               out_r, out_g, out_b):
+            def shadow_setup(lx, ly, lz, lpd, lvalid):
+                """Shadow-ray geometry + dense-table/big-partition
+                occlusion. Returns (shadow origin+dir, visible-so-far,
+                t_lim for the cluster tier — 0 where irrelevant)."""
                 tlx = lx - pxp
                 tly = ly - pyp
                 tlz = lz - pzp
@@ -372,7 +389,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 )
                 lt = jnp.where(st_p >= 0, st_t, -1.0)
                 visible = (lt < 0.0) | (lt >= dist - epsilon)
-                if n_super:
+                if n_super and "bigpair" not in _ABLATE:
                     # Big-partition occlusion, pairwise.
                     smx, smy, smz = _moment(sox, soy, soz, ldx, ldy, ldz)
                     occ_big = pair_test_anyhit(
@@ -382,22 +399,12 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         jnp.zeros(shp, jnp.float32),
                     )
                     visible = visible & ~(occ_big > 0.5)
-                if n_super and not _SKIP_TRAVERSE:
-                    # Cluster-set occlusion for lanes the dense tables left
-                    # visible; inactive lanes carry t_lim = 0.
-                    relevant = hit & lvalid & (~is_spec) & (lpd > 0.0)
-                    t_lim = jnp.where(
-                        relevant & visible, dist - epsilon, 0.0
-                    )
-                    occ = traverse_clusters_anyhit(
-                        sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                        scr_es, scr_ec, sem_c, sem2,
-                        sox, soy, soz, ldx, ldy, ldz,
-                        t_lim, jnp.zeros(shp, jnp.float32),
-                        n_super=n_super,
-                        visit_ref=vis_ref,
-                    )
-                    visible = visible & ~occ
+                relevant = hit & lvalid & (~is_spec) & (lpd > 0.0)
+                t_lim = jnp.where(relevant & visible, dist - epsilon, 0.0)
+                return sox, soy, soz, ldx, ldy, ldz, visible, t_lim
+
+            def nee_finish(ldx, ldy, ldz, visible, ls_r, ls_g, ls_b,
+                           lpd, lvalid, out_r, out_g, out_b):
                 # Lambertian eval (specular: synthetic pdf 0 -> skip).
                 cos_s = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
                 shade = cos_s / _PI
@@ -408,6 +415,25 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 out_b = out_b + w * md_b * ls_b * sb
                 return out_r, out_g, out_b
 
+            def nee_accumulate(lx, ly, lz, ls_r, ls_g, ls_b, lpd, lvalid,
+                               out_r, out_g, out_b):
+                (sox, soy, soz, ldx, ldy, ldz,
+                 visible, t_lim) = shadow_setup(lx, ly, lz, lpd, lvalid)
+                if n_super and not _SKIP_TRAVERSE:
+                    # Cluster-set occlusion for lanes the dense tables left
+                    # visible; inactive lanes carry t_lim = 0.
+                    occ = traverse_clusters_anyhit(
+                        sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
+                        scr_es, scr_ec, sem_c, sem2,
+                        sox, soy, soz, ldx, ldy, ldz,
+                        t_lim, jnp.zeros(shp, jnp.float32),
+                        n_super=n_super,
+                        visit_ref=vis_ref,
+                    )
+                    visible = visible & ~occ
+                return nee_finish(ldx, ldy, ldz, visible, ls_r, ls_g, ls_b,
+                                  lpd, lvalid, out_r, out_g, out_b)
+
             def point_light(li, acc):
                 out_r, out_g, out_b = acc
                 return nee_accumulate(
@@ -417,11 +443,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     out_r, out_g, out_b,
                 )
 
-            out_r, out_g, out_b = jax.lax.fori_loop(
-                0, n_lights, point_light, (out_r, out_g, out_b)
-            )
+            if "nee" not in _ABLATE:
+                out_r, out_g, out_b = jax.lax.fori_loop(
+                    0, n_lights, point_light, (out_r, out_g, out_b)
+                )
 
-            for _ in range(em_k):
+            em_draws = []
+            for _ in range(0 if "nee" in _ABLATE else em_k):
                 rng, rsel = _next_u01(rng)
                 rng, u1 = _next_u01(rng)
                 rng, u2 = _next_u01(rng)
@@ -521,10 +549,40 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     (~cullm) | ((ldx * snx_ + ldy * sny_ + ldz * snz_) < 0.0)
                 )
                 lpd = s_pd * dist2 / jnp.maximum(adot, 1e-30)
-                out_r, out_g, out_b = nee_accumulate(
-                    spx, spy, spz, e_r, e_g, e_b, lpd, lvalid,
-                    out_r, out_g, out_b,
+                if n_super and not _SKIP_TRAVERSE:
+                    # Defer: all em_k draws share ONE merged cluster
+                    # occlusion query below (the sup/cluster tier scans
+                    # amortize over em_k * rows shadow rows, and records
+                    # both draws need are fetched once).
+                    em_draws.append((spx, spy, spz, e_r, e_g, e_b,
+                                     lpd, lvalid))
+                else:
+                    out_r, out_g, out_b = nee_accumulate(
+                        spx, spy, spz, e_r, e_g, e_b, lpd, lvalid,
+                        out_r, out_g, out_b,
+                    )
+
+            if em_draws:
+                sh = [shadow_setup(d[0], d[1], d[2], d[6], d[7])
+                      for d in em_draws]
+                cat = lambda i: jnp.concatenate([s[i] for s in sh], axis=0)
+                occ_all = traverse_clusters_anyhit(
+                    sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
+                    scr_es, scr_ec, sem_c, sem2,
+                    cat(0), cat(1), cat(2), cat(3), cat(4), cat(5),
+                    cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
+                                      jnp.float32),
+                    n_super=n_super,
+                    visit_ref=vis_ref,
                 )
+                r0 = shp[0]
+                for k, (d, s) in enumerate(zip(em_draws, sh)):
+                    occ_k = occ_all[k * r0:(k + 1) * r0]
+                    out_r, out_g, out_b = nee_finish(
+                        s[3], s[4], s[5], s[6] & ~occ_k,
+                        d[3], d[4], d[5], d[6], d[7],
+                        out_r, out_g, out_b,
+                    )
 
             # Roulette bookkeeping (ref: worker.cpp:106-110).
             bounce_pd = jnp.where(
@@ -617,6 +675,15 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             mult_b = jnp.where(is_glass, gl_b, jnp.where(is_mirror, mi_b, md_b))
             shading = jnp.where(is_spec, 1.0, shade_l)
             shading_pd = jnp.float32(1.0)
+            if "prop" in _ABLATE:
+                # Override the sampled bounce with straight-through rays —
+                # the unused sampling math above is dead-code-eliminated.
+                ndx = jnp.where(u1 > 0.5, dx, -dx)
+                ndy, ndz = dy, dz
+                ray_factor = jnp.ones(shp, jnp.float32)
+                ray_pd = jnp.ones(shp, jnp.float32)
+                mult_r, mult_g, mult_b = md_r, md_g, md_b
+                shading = jnp.ones(shp, jnp.float32)
 
             divisor_new = divisor * (ray_pd / jnp.maximum(ray_factor, 1e-30)) * (
                 shading_pd / jnp.maximum(shading, 1e-30)
@@ -867,11 +934,15 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
             vmem_full,
         ]
         table_args += [sup, clb, rec, bigp]
+        # Slab-entry scratch is sized for the tallest query: the merged
+        # shadow pass runs em_k * block_rows rows (kernel_traverse.py
+        # slices to each query's row count).
+        rows_max = max(1, em_k) * block_rows
         scratch = [
             pltpu.VMEM((GROUP, 128), jnp.float32),
             pltpu.VMEM((2, REC_LANES, PAIR_COLS), jnp.float32),
-            pltpu.VMEM((sup.shape[0], block_rows, 128), jnp.float32),
-            pltpu.VMEM((GROUP, block_rows, 128), jnp.float32),
+            pltpu.VMEM((sup.shape[0], rows_max, 128), jnp.float32),
+            pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ]
