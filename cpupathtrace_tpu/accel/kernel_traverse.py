@@ -98,12 +98,15 @@ _B_LO, _B_HI, _B_VALID = 0, 3, 6
 
 
 def pack_pair_record_np(v0, v1, v2, cull, prim, n0, n1, n2, mat,
-                        rows=REC_LANES):
+                        rows=None):
     """Pack one pairwise MT record [rows, PAIR_COLS] from [L<=rows, ...]
-    triangle arrays. Padding slots carry N = 0 (det = 0 => auto-miss) and
-    prim = -1."""
+    triangle arrays; rows defaults to L padded to a sublane tile (8) —
+    pair-test cost scales with the record height, so keep it minimal.
+    Padding slots carry N = 0 (det = 0 => auto-miss) and prim = -1."""
     v0 = np.asarray(v0, np.float32)
     l = v0.shape[0]
+    if rows is None:
+        rows = max(8, -(-l // 8) * 8)
     if l > rows:
         raise ValueError(f"{l} triangles > record capacity {rows}")
     prim = np.asarray(prim, np.float32)
@@ -142,13 +145,15 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     c, l, _ = v0.shape
     if l > REC_LANES:
         raise ValueError(f"cluster_size {l} > {REC_LANES}")
+    if l % 8:
+        raise ValueError(f"cluster_size {l} must be a sublane multiple (8)")
     prim = np.asarray(cl_prim, np.float32)
     if prim.max(initial=0) >= 2 ** 24:
         raise ValueError("kernel traversal carries prim ids as f32 (< 2^24)")
     s = -(-c // GROUP)
     cp = s * GROUP
 
-    rec = np.zeros((cp, REC_LANES, PAIR_COLS), np.float32)
+    rec = np.zeros((cp, l, PAIR_COLS), np.float32)
     rec[:, :, _C_PRIM] = -1.0
     rec[:c] = _pack_pair_records_batch(
         v0, np.asarray(cl_v1, np.float32), np.asarray(cl_v2, np.float32),
@@ -195,7 +200,7 @@ def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat):
     n = np.cross(e1, e2)
     live = prim >= 0
     n = np.where(live[..., None], n, 0.0)
-    rec = np.zeros((c, REC_LANES, PAIR_COLS), np.float32)
+    rec = np.zeros((c, l, PAIR_COLS), np.float32)
     rec[:, :, _C_PRIM] = -1.0
     rec[:, :l, 0:3] = -n
     rec[:, :l, 3:6] = e2
@@ -317,7 +322,7 @@ def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                 # (matches a serial scan's first-strict-improvement).
                 oh0 = key == tmin
                 tsel = jnp.min(
-                    jnp.where(oh0, tri_iota, jnp.float32(REC_LANES)),
+                    jnp.where(oh0, tri_iota, jnp.float32(tri_rows)),
                     axis=0, keepdims=True,
                 )
                 ohf = jnp.where(oh0 & (tri_iota == tsel), 1.0, 0.0)
@@ -757,7 +762,7 @@ def _single_call(sup, clb, records, comps, lim, n_super,
         ],
         scratch_shapes=[
             pltpu.VMEM((GROUP, 128), jnp.float32),
-            pltpu.VMEM((2, REC_LANES, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((2, records.shape[1], PAIR_COLS), jnp.float32),
             pltpu.VMEM((sup.shape[0], 8, 128), jnp.float32),
             pltpu.VMEM((GROUP, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,

@@ -938,9 +938,10 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         # shadow pass runs em_k * block_rows rows (kernel_traverse.py
         # slices to each query's row count).
         rows_max = max(1, em_k) * block_rows
+        rec_rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
         scratch = [
             pltpu.VMEM((GROUP, 128), jnp.float32),
-            pltpu.VMEM((2, REC_LANES, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
             pltpu.VMEM((sup.shape[0], rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,

@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import os
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -512,8 +514,12 @@ class SceneBuilder:
                 pack_pair_record_np,
             )
 
+            # 64-triangle records halve the per-visit VPU pair-test cost;
+            # the extra cluster count rides the (cheap) bitmask tiers.
+            krn_cluster = int(os.environ.get("PTX_KRN_CLUSTER", "64"))
             kcl = build_cluster_bvh(
-                lo_tri[small_idx], hi_tri[small_idx], cluster_size=128
+                lo_tri[small_idx], hi_tri[small_idx],
+                cluster_size=krn_cluster,
             )
             kmembers = np.where(
                 kcl.members >= 0, small_idx[np.maximum(kcl.members, 0)], -1
@@ -525,7 +531,7 @@ class SceneBuilder:
                 tri_n[0][kidx], tri_n[1][kidx], tri_n[2][kidx],
                 tri_mat[kidx], kcl.c_lo, kcl.c_hi,
             )
-            krn_cluster_size = 128
+            krn_cluster_size = krn_cluster
             if n_big <= 128:
                 bidx = np.maximum(big_prim, 0)
                 krn_big_pair = pack_pair_record_np(

@@ -75,7 +75,7 @@ def test_records_cover_small_partition(scene):
     prims = rec[..., 17].reshape(-1)
     prims = np.unique(prims[prims >= 0]).astype(np.int64)
     assert rec.shape[0] % GROUP == 0
-    assert rec.shape[1] == 128
+    assert rec.shape[1] % 8 == 0  # sublane-tiled record height
     assert len(prims) > 1500  # the 2000-tri dragon minus the dense part
 
 
