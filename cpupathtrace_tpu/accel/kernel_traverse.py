@@ -451,8 +451,18 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
     return masks
 
 
+# Front-to-back buckets for the supercluster scan: groups are processed in
+# ascending order of their block-min slab entry, so near geometry resolves
+# first and the per-descend bound recheck prunes far groups. Linear split
+# of the [min, max] entry range — cheap and good enough for pruning.
+_N_BUCKETS = 4
+# SMEM scratch slots for packed masks: _N_BUCKETS * ceil(512/23) sup masks
+# + ceil(GROUP/23) cluster masks, rounded up.
+MASK_SLOTS = 96
+
+
 def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-                    sem_c, sem2,
+                    scr_m, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
                     bound_fn, process_fn, carry0, n_super, run_gate,
                     visit_ref, visit_base):
@@ -491,6 +501,9 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
     rows = shp[0]
     n_sup_masks = -(-n_super // _MASK_BITS)
     n_cl_masks = -(-GROUP // _MASK_BITS)
+    n_buckets = _N_BUCKETS if n_super > 8 else 1
+    cl_off = n_buckets * n_sup_masks
+    assert cl_off + n_cl_masks <= MASK_SLOTS
 
     def sched(idx, enter_f, st):
         carry, entp, have, par = st
@@ -523,9 +536,31 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
         sup_iota = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
         sup_w = _bit_weights(sp, sup_iota)
         # Per-supercluster any-lane-enters flag: reduce rows then lanes.
-        ent_s = jnp.where(scr_es[:, :rows] < bound0[None], 1.0, 0.0)
+        ent_b = scr_es[:, :rows] < bound0[None]
+        ent_s = jnp.where(ent_b, 1.0, 0.0)
         flag_s = jnp.max(jnp.max(ent_s, axis=1), axis=1, keepdims=True)  # [Sp,1]
-        sup_masks = _pack_masks(flag_s, sup_w, sup_iota, sp, n_sup_masks)
+        if n_buckets > 1:
+            # Bucket groups front-to-back by block-min entry.
+            emin = jnp.min(
+                jnp.min(jnp.where(ent_b, scr_es[:, :rows], _INF), axis=1),
+                axis=1, keepdims=True,
+            )  # [Sp, 1]
+            on = flag_s > 0.5
+            m0 = jnp.min(jnp.where(on, emin, _INF))
+            m1 = jnp.max(jnp.where(on, emin, -_INF))
+            span = jnp.maximum(m1 - m0, 1e-20)
+            bidx = jnp.floor(jnp.clip(
+                (emin - m0) / span * n_buckets, 0.0, n_buckets - 1.0
+            ))
+        # All packed masks land in SMEM so ONE flattened loop nest (a
+        # single textual copy of descend/sched) walks them in order.
+        for b in range(n_buckets):
+            fb = flag_s
+            if n_buckets > 1:
+                fb = jnp.where(bidx == b, flag_s, 0.0)
+            masks = _pack_masks(fb, sup_w, sup_iota, sp, n_sup_masks)
+            for sm in range(n_sup_masks):
+                scr_m[b * n_sup_masks + sm] = masks[sm]
 
         cl_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
         cl_w = _bit_weights(GROUP, cl_iota)
@@ -543,12 +578,15 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
             ent_c = jnp.where(scr_ec[:, :rows] < bound[None], 1.0, 0.0)
             flag_c = jnp.max(jnp.max(ent_c, axis=1), axis=1, keepdims=True)
             cl_masks = _pack_masks(flag_c, cl_w, cl_iota, GROUP, n_cl_masks)
-
             for cm in range(n_cl_masks):
+                scr_m[cl_off + cm] = cl_masks[cm]
+
+            def cl_outer(cm, st):
+                base = cm * _MASK_BITS
+
                 def cl_bit(c):
                     m, st = c
-                    low = m & (-m)
-                    g = _ctz(low) + cm * _MASK_BITS
+                    g = _ctz(m & (-m)) + base
                     bound = bound_fn(st[0])
                     enter_f = jnp.where(scr_ec[g, :rows] < bound, 1.0, 0.0)
                     st = jax.lax.cond(
@@ -560,20 +598,24 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
                     return (m & (m - 1), st)
 
                 _, st = jax.lax.while_loop(
-                    lambda c: c[0] != 0, cl_bit, (cl_masks[cm], st)
+                    lambda c: c[0] != 0, cl_bit, (scr_m[cl_off + cm], st)
                 )
-            return st
+                return st
+
+            return jax.lax.fori_loop(0, n_cl_masks, cl_outer, st)
 
         st = (carry0, jnp.zeros(shp, jnp.float32), jnp.int32(0),
               jnp.int32(0))
-        for sm in range(n_sup_masks):
+
+        def sup_outer(i, st):
+            base = jax.lax.rem(i, jnp.int32(n_sup_masks)) * _MASK_BITS
+
             def sup_bit(c):
                 m, st = c
-                low = m & (-m)
-                s = _ctz(low) + sm * _MASK_BITS
+                s = _ctz(m & (-m)) + base
                 # Re-check against the CURRENT bound: a group flagged at
                 # bound0 may be pruned by now (nearest tightening /
-                # shadow full occlusion).
+                # shadow full occlusion / a nearer bucket resolved).
                 bound = bound_fn(st[0])
                 need = jnp.max(
                     jnp.where(scr_es[s, :rows] < bound, 1.0, 0.0)
@@ -584,8 +626,11 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
                 return (m & (m - 1), st)
 
             _, st = jax.lax.while_loop(
-                lambda c: c[0] != 0, sup_bit, (sup_masks[sm], st)
+                lambda c: c[0] != 0, sup_bit, (scr_m[i], st)
             )
+            return st
+
+        st = jax.lax.fori_loop(0, n_buckets * n_sup_masks, sup_outer, st)
         carry, entp, have, par = st
 
         def drain(carry):
@@ -600,7 +645,8 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
 
 
 def traverse_clusters(
-    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
+    sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     best_t, best_p, nx, ny, nz, mid,
     *,
@@ -648,14 +694,16 @@ def traverse_clusters(
     if root is not None:
         run_gate = run_gate & root
     return _scan_pipelined(
-        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
+        sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, carry0, n_super, run_gate, visit_ref, 0,
     )
 
 
 def traverse_clusters_anyhit(
-    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
+    sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     t_lim, occluded_f,
     *,
@@ -687,7 +735,8 @@ def traverse_clusters_anyhit(
     if root is not None:
         run_gate = run_gate & root
     occ_f = _scan_pipelined(
-        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, sem_c, sem2,
+        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
+        sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, occluded_f, n_super, run_gate, visit_ref, 2,
     )
@@ -701,7 +750,7 @@ def traverse_clusters_anyhit(
 def _single_kernel(sup_ref, clb_hbm, rec_hbm,
                    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                    lim_r, t_out, p_out, scr_c, scr2, scr_es, scr_ec,
-                   sem_c, sem2,
+                   scr_m, sem_c, sem2,
                    *, n_super, any_hit):
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
@@ -710,7 +759,7 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
     if any_hit:
         occ = traverse_clusters_anyhit(
             sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-            sem_c, sem2,
+            scr_m, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             lim, jnp.zeros(shp, jnp.float32),
             n_super=n_super,
@@ -724,7 +773,7 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
         dmid = jnp.zeros(shp, jnp.int32)
         best_t, best_p, _, _, _, _ = traverse_clusters(
             sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-            sem_c, sem2,
+            scr_m, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             best_t, best_p, dummy, dummy, dummy, dmid,
             n_super=n_super,
@@ -765,6 +814,7 @@ def _single_call(sup, clb, records, comps, lim, n_super,
             pltpu.VMEM((2, records.shape[1], PAIR_COLS), jnp.float32),
             pltpu.VMEM((sup.shape[0], 8, 128), jnp.float32),
             pltpu.VMEM((GROUP, 8, 128), jnp.float32),
+            pltpu.SMEM((MASK_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -39,6 +39,7 @@ from ..scene.scene import SceneData, BSDF_GLASS, BSDF_LAMBERTIAN, BSDF_MIRROR
 from ..core.config import RenderOptions
 from ..accel.kernel_traverse import (
     GROUP,
+    MASK_SLOTS,
     PAIR_COLS,
     REC_LANES,
     _moment,
@@ -275,14 +276,16 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 (sup_ref, clb_hbm, rec_hbm, bigp_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  r_out, g_out, b_out, coll_out, vis_out,
-                 scr_c, scr2, scr_es, scr_ec, sem_c, sem2, vis_ref) = rest
+                 scr_c, scr2, scr_es, scr_ec, scr_m,
+                 sem_c, sem2, vis_ref) = rest
                 for c in range(4):
                     vis_ref[c] = 0
             else:
                 (sup_ref, clb_hbm, rec_hbm, bigp_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                  r_out, g_out, b_out, coll_out,
-                 scr_c, scr2, scr_es, scr_ec, sem_c, sem2) = rest
+                 scr_c, scr2, scr_es, scr_ec, scr_m,
+                 sem_c, sem2) = rest
             bigp_col = lambda i: bigp_ref[:, i:i + 1]
         else:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -323,7 +326,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             if n_super and not _SKIP_TRAVERSE:
                 bt, bp, nx, ny, nz, mid = traverse_clusters(
                     sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-                    sem_c, sem2,
+                    scr_m, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super,
@@ -424,7 +427,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     # visible; inactive lanes carry t_lim = 0.
                     occ = traverse_clusters_anyhit(
                         sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                        scr_es, scr_ec, sem_c, sem2,
+                        scr_es, scr_ec, scr_m, sem_c, sem2,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
@@ -568,7 +571,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 cat = lambda i: jnp.concatenate([s[i] for s in sh], axis=0)
                 occ_all = traverse_clusters_anyhit(
                     sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                    scr_es, scr_ec, sem_c, sem2,
+                    scr_es, scr_ec, scr_m, sem_c, sem2,
                     cat(0), cat(1), cat(2), cat(3), cat(4), cat(5),
                     cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
                                       jnp.float32),
@@ -944,6 +947,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
             pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
             pltpu.VMEM((sup.shape[0], rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
+            pltpu.SMEM((MASK_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ]
