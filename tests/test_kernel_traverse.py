@@ -140,3 +140,32 @@ def test_inactive_lanes_skipped(scene):
         ),
     )
     assert (p_k < 0).all()
+
+
+def test_bitmask_helpers_roundtrip():
+    """_pack_masks + _ctz recover exactly the flagged indices, in order."""
+    import jax.numpy as jnp
+
+    from cpupathtrace_tpu.accel.kernel_traverse import (
+        _MASK_BITS,
+        _bit_weights,
+        _ctz,
+        _pack_masks,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (8, 23, 24, 49, 104):
+        flags = rng.random(n) < 0.4
+        iota = jnp.arange(n, dtype=jnp.int32)[:, None]
+        w = _bit_weights(n, iota)
+        n_masks = -(-n // _MASK_BITS)
+        flag_col = jnp.asarray(flags, jnp.float32)[:, None]
+        masks = _pack_masks(flag_col, w, iota, n, n_masks)
+        got = []
+        for mi, mval in enumerate(masks):
+            m = int(mval)
+            while m:
+                low = m & (-m)
+                got.append(int(_ctz(jnp.int32(low))) + mi * _MASK_BITS)
+                m &= m - 1
+        assert got == list(np.nonzero(flags)[0]), (n, got)
