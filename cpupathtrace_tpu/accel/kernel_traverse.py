@@ -288,12 +288,18 @@ def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
 
 
 def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
-                      state, *, want_normal_mat, enter_f=None):
+                      state, *, want_normal_mat, enter_f=None,
+                      use_conds=True):
     """Nearest-hit pair test of one resident record against the whole
     (rows, 128) ray block. `col(i)` yields record feature column i as
     [T, 1]. state = (best_t, best_p, nx, ny, nz, mid) as (rows, 128)
     arrays; returns the updated tuple. `enter_f` ((rows,128) f32 or None)
-    gates each ray row on having any lane that entered the cluster."""
+    gates each ray row on having any lane that entered the cluster.
+
+    `use_conds=False` drops every per-row `lax.cond` in favor of
+    unconditional masked selects — the right call for records that are
+    (almost) always live: a Mosaic cond region costs more than the ~30
+    vector ops it would skip once the surrounding live state is large."""
     rows = ox.shape[0]
     cols = [col(i) for i in range(17)]
     tri_rows = cols[0].shape[0]
@@ -359,12 +365,16 @@ def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                 btj = jnp.minimum(btj, tmin)
                 return btj, bpj, nxj, nyj, nzj, midj
 
+            if not use_conds:
+                # `extract` masks every update on `improved`, so running
+                # it unconditionally is exact.
+                return extract(row_state)
             return jax.lax.cond(
                 jnp.max(jnp.where(improved, 1.0, 0.0)) > 0.5,
                 extract, lambda c: c, row_state,
             )
 
-        if enter_f is None:
+        if enter_f is None or not use_conds:
             return run(row_state)
         need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
         return jax.lax.cond(need_row, run, lambda c: c, row_state)
@@ -380,10 +390,11 @@ def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
 
 
 def pair_test_anyhit(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
-                     t_lim, occ_f, *, enter_f=None):
+                     t_lim, occ_f, *, enter_f=None, use_conds=True):
     """Any-hit pair test of one resident record: returns the updated
     (rows, 128) occlusion mask (f32). The t division is avoided entirely:
-    t < t_lim iff st < t_lim * sd (sd > 0 post-normalization)."""
+    t < t_lim iff st < t_lim * sd (sd > 0 post-normalization).
+    `use_conds=False`: see pair_test_nearest."""
     rows = ox.shape[0]
     cols = [col(i) for i in range(17)]
 
@@ -400,7 +411,7 @@ def pair_test_anyhit(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
             occ_row = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True)
             return jnp.maximum(occ_row_j, occ_row)
 
-        if enter_f is None:
+        if enter_f is None or not use_conds:
             return run(occ_row_j)
         need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
         return jax.lax.cond(need_row, run, lambda o: o, occ_row_j)
@@ -655,6 +666,7 @@ def traverse_clusters(
     active=None,
     root=None,
     visit_ref=None,
+    rec_conds=True,
 ):
     """Nearest-hit over the cluster set, inlined into a Pallas kernel.
 
@@ -687,6 +699,7 @@ def traverse_clusters(
         return pair_test_nearest(
             col, ox, oy, oz, dx, dy, dz, mx, my, mz, carry,
             want_normal_mat=want_normal_mat, enter_f=enter_f,
+            use_conds=rec_conds,
         )
 
     carry0 = (best_t, best_p, nx, ny, nz, mid)
@@ -710,6 +723,7 @@ def traverse_clusters_anyhit(
     n_super: int,
     root=None,
     visit_ref=None,
+    rec_conds=True,
 ):
     """Any-hit (shadow) traversal: returns the updated occluded mask
     (as bool, from an f32 `occluded_f` input — see `active` in
@@ -728,7 +742,7 @@ def traverse_clusters_anyhit(
         col = lambda i: scr2[slot, :, i:i + 1]
         return pair_test_anyhit(
             col, ox, oy, oz, dx, dy, dz, mx, my, mz, t_lim, occ_f,
-            enter_f=enter_f,
+            enter_f=enter_f, use_conds=rec_conds,
         )
 
     run_gate = jnp.max(jnp.where(t_lim > 0.0, 1.0, 0.0)) > 0.5

@@ -249,6 +249,10 @@ def _tangent_frame(nx, ny, nz):
 
 
 _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
+# Per-row lax.cond gating in the traversal record tests (A/B knob): conds
+# skip rows that did not enter a cluster, but each Mosaic cond region costs
+# more as the surrounding live state grows.
+_REC_CONDS = os.environ.get("PTX_REC_CONDS", "1") == "1"
 # Comma-separated kernel-body ablations for perf bisection (profiling only):
 # "nee" drops next-event estimation, "bigpair" drops the big-partition pair
 # tests, "prop" replaces BSDF sampling with straight-through propagation,
@@ -317,6 +321,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     bt, bp, nx, ny, nz, mid = pair_test_nearest(
                         bigp_col, ox, oy, oz, dx, dy, dz, mxr, myr, mzr,
                         (bt, bp, nx, ny, nz, mid), want_normal_mat=True,
+                        use_conds=False,
                     )
             else:
                 bt, bp, nx, ny, nz, mid = _intersect_tables(
@@ -331,7 +336,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super,
                     want_normal_mat=True, active=alive_f,
-                    visit_ref=vis_ref,
+                    visit_ref=vis_ref, rec_conds=_REC_CONDS,
                 )
             hit = alive & (bp >= 0)
             collected = collected | hit
@@ -400,6 +405,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         smx, smy, smz,
                         jnp.maximum(dist - epsilon, 0.0),
                         jnp.zeros(shp, jnp.float32),
+                        use_conds=False,
                     )
                     visible = visible & ~(occ_big > 0.5)
                 relevant = hit & lvalid & (~is_spec) & (lpd > 0.0)
@@ -431,7 +437,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
-                        visit_ref=vis_ref,
+                        visit_ref=vis_ref, rec_conds=_REC_CONDS,
                     )
                     visible = visible & ~occ
                 return nee_finish(ldx, ldy, ldz, visible, ls_r, ls_g, ls_b,
@@ -576,7 +582,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
                                       jnp.float32),
                     n_super=n_super,
-                    visit_ref=vis_ref,
+                    visit_ref=vis_ref, rec_conds=_REC_CONDS,
                 )
                 r0 = shp[0]
                 for k, (d, s) in enumerate(zip(em_draws, sh)):

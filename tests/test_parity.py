@@ -109,7 +109,7 @@ def test_dragon_box_parity():
 
     golden = read_golden("golden_dragon_32.raw")
     scene = bench_dragon_scene(dragon_tris=20000)
-    assert scene.accel in ("cluster", "sweep")
+    assert scene.accel in ("cluster", "sweep", "binned")
     cam = bench_camera()
     ours = render_fixed(scene, cam, 32, 128, seed=11, max_depth=32)
     # Coverage: camera outside the closed box; every pixel that hits in one
