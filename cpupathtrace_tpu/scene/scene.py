@@ -394,6 +394,17 @@ class SceneBuilder:
 
         if accel is None:
             if use_bvh is True:
+                import warnings
+
+                # The pointer-chasing per-lane walk is the reference's
+                # layout, kept for parity testing — it is the SLOWEST
+                # intersector on TPU (HBM gathers per step; BASELINE.md).
+                warnings.warn(
+                    "use_bvh=True selects the per-lane BVH walk — the "
+                    "slowest intersector on TPU. Prefer accel=None "
+                    "(auto) or accel='binned' for large scenes.",
+                    stacklevel=2,
+                )
                 accel = "bvh"
             elif use_bvh is False:
                 accel = "dense"
