@@ -262,40 +262,70 @@ _ABLATE = frozenset(
 )
 
 
+# Path-state tuple order, shared by the while-loop megakernel's carry and
+# the single-bounce kernel's IO (trace_megakernel_sorted): rng rides as
+# uint32; masks ride as f32 (Mosaic cannot carry i1 vectors through scf).
+STATE_FIELDS = (
+    "rng", "ox", "oy", "oz", "dx", "dy", "dz",
+    "sr", "sg", "sb", "out_r", "out_g", "out_b",
+    "divisor", "bounce_pd", "contrib_unw", "collected_f", "alive_f",
+)
+N_STATE = len(STATE_FIELDS)
+
+
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
-                     epsilon, n_super=0, debug_visits=False):
+                     epsilon, n_super=0, debug_visits=False,
+                     single_bounce=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes four extra inputs (supercluster VMEM bounds, cluster
     bounds pages, cluster records, big-partition pair record) and four
     scratch refs. On this path the dense-triangle work is PAIRWISE too:
     the big partition (walls/emitters) rides a single always-tested pair
     record instead of a serial SMEM fori loop — per-iteration scalar loads
-    measured ~0.7 us/ray/bounce in stalls (accel/kernel_traverse.py)."""
+    measured ~0.7 us/ray/bounce in stalls (accel/kernel_traverse.py).
+
+    `single_bounce` builds the sorted-wavefront step kernel instead: IO is
+    the full N_STATE path state (in and out), the bounce depth rides in
+    seed_ref[1], and the body runs ONCE (the driver sorts rays by
+    coherence key between bounces — integrator/sorted_wavefront.py)."""
 
     def kernel(seed_ref, tri_ref, sph_ref, mat_ref, lgt_ref, em_ref,
                *rest):
         vis_ref = None
+        pos = 0
         if n_super:
-            if debug_visits:
-                (sup_ref, clb_hbm, rec_hbm, bigp_ref,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 r_out, g_out, b_out, coll_out, vis_out,
-                 scr_c, scr2, scr_es, scr_ec, scr_m,
-                 sem_c, sem2, vis_ref) = rest
-                for c in range(4):
-                    vis_ref[c] = 0
-            else:
-                (sup_ref, clb_hbm, rec_hbm, bigp_ref,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 r_out, g_out, b_out, coll_out,
-                 scr_c, scr2, scr_es, scr_ec, scr_m,
-                 sem_c, sem2) = rest
+            sup_ref, clb_hbm, rec_hbm, bigp_ref = rest[pos:pos + 4]
+            pos += 4
             bigp_col = lambda i: bigp_ref[:, i:i + 1]
+        if single_bounce:
+            assert not debug_visits
+            st_in = rest[pos:pos + N_STATE]
+            pos += N_STATE
+            st_out = rest[pos:pos + N_STATE]
+            pos += N_STATE
+            shp = st_in[1].shape
         else:
-            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-             r_out, g_out, b_out, coll_out) = rest
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[
+                pos:pos + 6
+            ]
+            pos += 6
+            (r_out, g_out, b_out, coll_out) = rest[pos:pos + 4]
+            pos += 4
+            if debug_visits:
+                vis_out = rest[pos]
+                pos += 1
+            shp = ox_ref.shape
+        if n_super:
+            (scr_c, scr2, scr_es, scr_ec, scr_m,
+             sem_c, sem2) = rest[pos:pos + 7]
+            pos += 7
+        if debug_visits:
+            vis_ref = rest[pos]
+            pos += 1
+            for c in range(4):
+                vis_ref[c] = 0
+        assert pos == len(rest), (pos, len(rest))
         pid = pl.program_id(0)
-        shp = ox_ref.shape
         rng0 = _seed_rng(seed_ref[0] + pid * jnp.int32(1000003), shp)
 
         def body(depth, st):
@@ -718,6 +748,20 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     divisor, bounce_pd, contrib_unw,
                     jnp.where(collected, 1.0, 0.0),
                     jnp.where(alive, 1.0, 0.0))
+
+        if single_bounce:
+            # One bounce over externally-carried state; skip fully dead
+            # blocks (the driver sorts dead rays to the tail, so whole
+            # blocks go dead as paths terminate).
+            st = tuple(r[:] for r in st_in)
+            depth = seed_ref[1]
+            st = jax.lax.cond(
+                jnp.max(st[17]) > 0.5, lambda s: body(depth, s),
+                lambda s: s, st,
+            )
+            for r, v in zip(st_out, st):
+                r[:] = v
+            return
 
         ones = jnp.ones(shp, jnp.float32)
         zeros = jnp.zeros(shp, jnp.float32)

@@ -1,0 +1,248 @@
+"""Sorted-wavefront megakernel: per-bounce ray reordering for coherence.
+
+The while-loop megakernel (pallas_megakernel.py) keeps path state in
+registers across bounces — optimal HBM traffic, but ray blocks become
+INCOHERENT after the first diffuse bounce, and the in-kernel cluster
+traversal pays for the union of every lane's needed clusters (~150 record
+visits per 1024-ray block per bounce on the dragon). The classic wavefront
+answer (ref analog: none — the C++ reference is per-ray recursive) is to
+re-sort rays between bounces so blocks share a direction octant and origin
+cell.
+
+This driver runs ONE jit program per frame:
+
+    while any ray alive:
+        state <- single-bounce megakernel step (Pallas, same bounce body)
+        state <- gather(state, argsort(coherence key))
+
+The state round trip is ~70 B/ray/bounce (~18 MB/bounce at 262k rays —
+tens of microseconds at HBM bandwidth), and `jax.lax.sort` of 262k keys is
+~2 ms: negligible against the traversal savings when blocks are coherent.
+Dead rays sort to the tail, so whole blocks go dead and the step kernel
+skips them — free path compaction, which the register-resident megakernel
+cannot do (its blocks stay resident until their LAST lane dies).
+
+The coherence key packs (dead, origin Morton cell, direction octant); the
+random stream is per-ORIGINAL-ray (hashed from the launch index and carried
+with the state), so the estimate is sort-invariant in distribution.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.kernel_traverse import GROUP, MASK_SLOTS, PAIR_COLS, REC_LANES
+from ..core.config import RenderOptions
+from ..scene.scene import SceneData
+from .pallas_megakernel import (
+    N_STATE,
+    _KRN_BLOCK_ROWS,
+    _LANES,
+    _make_megakernel,
+    _pack_tables,
+)
+
+_MORTON_BITS = 4  # per axis: 12-bit cell + 3-bit octant key
+
+
+def _seed_rng_flat(seed, idx):
+    """Per-ray xorshift32 state from the ORIGINAL ray index (sort-stable);
+    same mixing family as pallas_megakernel._seed_rng."""
+    idx = idx.astype(jnp.uint32)
+    s = (
+        jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(2654435761)
+        ^ (idx * jnp.uint32(40503) + jnp.uint32(0x9E3779B9))
+        ^ ((idx >> jnp.uint32(7)) * jnp.uint32(2246822519)
+           + jnp.uint32(0x85EBCA6B))
+    )
+    s = s ^ (s >> jnp.uint32(16))
+    s = s * jnp.uint32(2246822519)
+    return s | jnp.uint32(1)
+
+
+def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
+    """i32 coherence key: dead rays last; alive rays grouped by origin
+    Morton cell (4 bits/axis over the scene root AABB) then direction
+    octant."""
+    ext = jnp.maximum(hi - lo, 1e-30)
+    scale = float(1 << _MORTON_BITS) * 0.9999
+    cx = ((ox - lo[0]) / ext[0]).clip(0.0, 0.9999) * scale
+    cy = ((oy - lo[1]) / ext[1]).clip(0.0, 0.9999) * scale
+    cz = ((oz - lo[2]) / ext[2]).clip(0.0, 0.9999) * scale
+    ix = cx.astype(jnp.int32)
+    iy = cy.astype(jnp.int32)
+    iz = cz.astype(jnp.int32)
+    m = jnp.zeros_like(ix)
+    for b in range(_MORTON_BITS):
+        m = m | (((ix >> b) & 1) << (3 * b + 2))
+        m = m | (((iy >> b) & 1) << (3 * b + 1))
+        m = m | (((iz >> b) & 1) << (3 * b))
+    octant = (
+        (dx < 0).astype(jnp.int32)
+        + 2 * (dy < 0).astype(jnp.int32)
+        + 4 * (dz < 0).astype(jnp.int32)
+    )
+    key = (m << 3) | octant
+    return jnp.where(alive_f > 0.5, key, jnp.int32(2 ** 30))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
+                     "epsilon", "n_super", "block_rows"),
+)
+def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
+                 n_em, em_k, epsilon, n_super, block_rows):
+    """One bounce of the megakernel body over [rows, 128] state blocks."""
+    tri, sph, mat, lgt, em, sup, clb, rec, bigp = tables
+    rows = state[1].shape[0]
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec(
+        (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
+    kernel = _make_megakernel(
+        n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth=0,
+        epsilon=epsilon, n_super=n_super, single_bounce=True,
+    )
+    table_specs = [
+        smem((2,)),
+        smem(tri.shape), smem(sph.shape), smem(mat.shape),
+        smem(lgt.shape), smem(em.shape),
+    ]
+    table_args = [seed_depth, tri, sph, mat, lgt, em]
+    scratch = []
+    if n_super:
+        vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        table_specs += [
+            vmem_full,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vmem_full,
+        ]
+        table_args += [sup, clb, rec, bigp]
+        rows_max = max(1, em_k) * block_rows
+        rec_rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
+        scratch = [
+            pltpu.VMEM((GROUP, 128), jnp.float32),
+            pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((sup.shape[0], rows_max, 128), jnp.float32),
+            pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
+            pltpu.SMEM((MASK_SLOTS,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=table_specs + [ray_spec] * N_STATE,
+        out_specs=[ray_spec] * N_STATE,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, _LANES), a.dtype) for a in state
+        ],
+        scratch_shapes=scratch,
+    )(*table_args, *state)
+
+
+def trace_megakernel_sorted(
+    scene: SceneData,
+    rays,
+    options: RenderOptions,
+    seed,
+    tables=None,
+):
+    """Full-path trace with per-bounce coherence sorting. Same contract as
+    trace_megakernel: returns (spectrum [R,4] with alpha=collected,
+    collected [R] bool)."""
+    if tables is None:
+        tables = _pack_tables(scene)
+    if scene.has_kernel_records:
+        n_super = int(scene.krn_cl_bounds.shape[0])
+        n_tri_tbl = int(scene.big_v0.shape[0])
+        block_rows = int(
+            os.environ.get("PTX_KRN_BLOCK_ROWS", _KRN_BLOCK_ROWS)
+        )
+        tables = tables + (
+            scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
+            scene.krn_big_pair,
+        )
+    else:
+        n_super = 0
+        n_tri_tbl = int(scene.tri_v0.shape[0])
+        block_rows = _KRN_BLOCK_ROWS
+        z = jnp.zeros((1,), jnp.float32)
+        tables = tables + (z, z, z, z)
+
+    o = jnp.asarray(rays.origin, jnp.float32)
+    d = jnp.asarray(rays.direction, jnp.float32)
+    r = o.shape[0]
+    block = block_rows * _LANES
+    pad = (-r) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+    rp = r + pad
+    rows = rp // _LANES
+
+    statics = dict(
+        n_tri=n_tri_tbl, n_sph=int(scene.sph_center.shape[0]),
+        n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
+        n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
+        epsilon=float(options.epsilon), n_super=n_super,
+        block_rows=block_rows,
+    )
+    max_depth = int(options.max_depth)
+    lo = scene.root_lo
+    hi = scene.root_hi
+    seed_i = jnp.asarray(seed, jnp.int32)
+
+    idx0 = jnp.arange(rp, dtype=jnp.int32)
+    ones = jnp.ones(rp, jnp.float32)
+    zeros = jnp.zeros(rp, jnp.float32)
+    alive0 = jnp.concatenate(
+        [jnp.ones(r, jnp.float32), jnp.zeros(pad, jnp.float32)]
+    )
+    state = (
+        _seed_rng_flat(seed_i, idx0),
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        ones, ones, ones, zeros, zeros, zeros,
+        ones, ones, ones, zeros, alive0,
+    )
+
+    def cond(c):
+        depth, st, idx = c
+        return (depth < max_depth) & (jnp.max(st[17]) > 0.5)
+
+    def step(c):
+        depth, st, idx = c
+        st2d = tuple(a.reshape(rows, _LANES) for a in st)
+        seed_depth = jnp.stack([seed_i, depth])
+        st2d = _bounce_call(tables, seed_depth, st2d, **statics)
+        st = tuple(a.reshape(-1) for a in st2d)
+        key = _sort_key(st[1], st[2], st[3], st[4], st[5], st[6],
+                        st[17], lo, hi)
+        perm = jnp.argsort(key)
+        st = tuple(a[perm] for a in st)
+        return depth + 1, st, idx[perm]
+
+    _, st, idx = jax.lax.while_loop(cond, step, (jnp.int32(0), state, idx0))
+
+    inv = jnp.argsort(idx)
+    out_r = st[10][inv][:r]
+    out_g = st[11][inv][:r]
+    out_b = st[12][inv][:r]
+    coll = st[16][inv][:r] > 0.5
+    spectrum = jnp.stack(
+        [out_r, out_g, out_b, coll.astype(jnp.float32)], axis=-1
+    )
+    return spectrum, coll

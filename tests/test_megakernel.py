@@ -114,3 +114,48 @@ def test_megakernel_specular_parity():
     m = float(np.asarray(sp_mk[:, :3])[mask].mean())
     assert a > 1e-4 and m > 1e-4, (a, m)
     assert abs(a - m) / max(a, m) < 0.3, (a, m)
+
+
+@pytest.mark.slow
+def test_sorted_wavefront_matches_megakernel():
+    """The sorted-wavefront driver (per-bounce coherence sort + single
+    -bounce step kernel) agrees with the while-loop megakernel: exact
+    coverage, statistical radiance (independent RNG streams)."""
+    from cpupathtrace_tpu.camera.camera import shoot_rays
+    from cpupathtrace_tpu.integrator.film import pixel_camera_coords
+    from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+    from cpupathtrace_tpu.models.scenes import bench_camera, bench_dragon_scene
+
+    w = h = 24
+    spp = 8
+    scene = bench_dragon_scene(dragon_tris=2000, accel="binned")
+    cam = bench_camera()
+    opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=5)
+    xg, yg = np.meshgrid(
+        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+    )
+    xc, yc = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    rays = Rays(
+        *map(
+            jnp.asarray,
+            [
+                np.zeros((w * h * spp, 3), np.float32),
+                np.zeros((w * h * spp, 3), np.float32),
+            ],
+        )
+    )
+    rays = shoot_rays(
+        cam,
+        jnp.tile(jnp.asarray(xc), spp),
+        jnp.tile(jnp.asarray(yc), spp),
+        1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
+    )
+    s_m, c_m = trace_megakernel(scene, rays, opts, 1234)
+    s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234)
+    assert np.array_equal(np.asarray(c_m), np.asarray(c_s))
+    m1 = float(np.asarray(s_m)[:, :3].mean())
+    m2 = float(np.asarray(s_s)[:, :3].mean())
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.15, (m1, m2)
