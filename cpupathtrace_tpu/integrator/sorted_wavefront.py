@@ -231,13 +231,13 @@ def trace_megakernel_sorted(
         st = tuple(a.reshape(-1) for a in st2d)
         key = _sort_key(st[1], st[2], st[3], st[4], st[5], st[6],
                         st[17], lo, hi)
-        perm = jnp.argsort(key)
+        perm = jnp.argsort(key, stable=False)
         st = tuple(a[perm] for a in st)
         return depth + 1, st, idx[perm]
 
     _, st, idx = jax.lax.while_loop(cond, step, (jnp.int32(0), state, idx0))
 
-    inv = jnp.argsort(idx)
+    inv = jnp.argsort(idx, stable=False)
     out_r = st[10][inv][:r]
     out_g = st[11][inv][:r]
     out_b = st[12][inv][:r]
