@@ -158,10 +158,16 @@ def trace_megakernel_sorted(
     options: RenderOptions,
     seed,
     tables=None,
+    sort: bool = True,
 ):
     """Full-path trace with per-bounce coherence sorting. Same contract as
     trace_megakernel: returns (spectrum [R,4] with alpha=collected,
-    collected [R] bool)."""
+    collected [R] bool).
+
+    `sort=False` disables the permutation (an ablation/debug mode): each
+    ray's RNG stream rides its carried state, so per-ray estimates are
+    sort-invariant up to cross-record exact-t tie-breaks — sorted and
+    unsorted runs agree per ray to float exactness on generic scenes."""
     if tables is None:
         tables = _pack_tables(scene)
     if scene.has_kernel_records:
@@ -229,6 +235,8 @@ def trace_megakernel_sorted(
         seed_depth = jnp.stack([seed_i, depth])
         st2d = _bounce_call(tables, seed_depth, st2d, **statics)
         st = tuple(a.reshape(-1) for a in st2d)
+        if not sort:
+            return depth + 1, st, idx
         key = _sort_key(st[1], st[2], st[3], st[4], st[5], st[6],
                         st[17], lo, hi)
         perm = jnp.argsort(key, stable=False)

@@ -159,3 +159,38 @@ def test_sorted_wavefront_matches_megakernel():
     m1 = float(np.asarray(s_m)[:, :3].mean())
     m2 = float(np.asarray(s_s)[:, :3].mean())
     assert abs(m1 - m2) / max(m1, 1e-9) < 0.15, (m1, m2)
+
+
+@pytest.mark.slow
+def test_sorted_wavefront_sort_invariance():
+    """Each ray's RNG stream rides its carried state, so the coherence
+    sort must be bit-transparent: sorted and unsorted runs agree per ray
+    exactly (cross-record exact-t ties are the only theoretical exception
+    and do not occur on this scene)."""
+    from cpupathtrace_tpu.camera.camera import shoot_rays
+    from cpupathtrace_tpu.integrator.film import pixel_camera_coords
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+    from cpupathtrace_tpu.models.scenes import bench_camera, bench_dragon_scene
+
+    w = h = 20
+    spp = 4
+    scene = bench_dragon_scene(dragon_tris=2000, accel="binned")
+    cam = bench_camera()
+    opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=5)
+    xg, yg = np.meshgrid(
+        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+    )
+    xc, yc = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    rays = shoot_rays(
+        cam,
+        jnp.tile(jnp.asarray(xc), spp),
+        jnp.tile(jnp.asarray(yc), spp),
+        1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
+    )
+    s1, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
+    s2, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-7
+    )
