@@ -117,10 +117,15 @@ def test_megakernel_specular_parity():
 
 
 @pytest.mark.slow
-def test_sorted_wavefront_matches_megakernel():
+def test_sorted_wavefront():
     """The sorted-wavefront driver (per-bounce coherence sort + single
-    -bounce step kernel) agrees with the while-loop megakernel: exact
-    coverage, statistical radiance (independent RNG streams)."""
+    -bounce step kernel) in one pass:
+      * exact coverage + statistical radiance vs the while-loop megakernel
+        (independent RNG streams), and
+      * BIT-exact agreement between sorted and unsorted runs — each ray's
+        RNG stream rides its carried state, so the coherence sort must be
+        transparent (cross-record exact-t ties are the only theoretical
+        exception and do not occur on this scene)."""
     from cpupathtrace_tpu.camera.camera import shoot_rays
     from cpupathtrace_tpu.integrator.film import pixel_camera_coords
     from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
@@ -129,24 +134,15 @@ def test_sorted_wavefront_matches_megakernel():
     )
     from cpupathtrace_tpu.models.scenes import bench_camera, bench_dragon_scene
 
-    w = h = 24
-    spp = 8
-    scene = bench_dragon_scene(dragon_tris=2000, accel="binned")
+    w = h = 16
+    spp = 4
+    scene = bench_dragon_scene(dragon_tris=1200, accel="binned")
     cam = bench_camera()
-    opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=5)
+    opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=4)
     xg, yg = np.meshgrid(
         np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
     )
     xc, yc = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
-    rays = Rays(
-        *map(
-            jnp.asarray,
-            [
-                np.zeros((w * h * spp, 3), np.float32),
-                np.zeros((w * h * spp, 3), np.float32),
-            ],
-        )
-    )
     rays = shoot_rays(
         cam,
         jnp.tile(jnp.asarray(xc), spp),
@@ -154,43 +150,13 @@ def test_sorted_wavefront_matches_megakernel():
         1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
     )
     s_m, c_m = trace_megakernel(scene, rays, opts, 1234)
-    s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234)
+    s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
+    s_u, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
+
     assert np.array_equal(np.asarray(c_m), np.asarray(c_s))
     m1 = float(np.asarray(s_m)[:, :3].mean())
     m2 = float(np.asarray(s_s)[:, :3].mean())
-    assert abs(m1 - m2) / max(m1, 1e-9) < 0.15, (m1, m2)
-
-
-@pytest.mark.slow
-def test_sorted_wavefront_sort_invariance():
-    """Each ray's RNG stream rides its carried state, so the coherence
-    sort must be bit-transparent: sorted and unsorted runs agree per ray
-    exactly (cross-record exact-t ties are the only theoretical exception
-    and do not occur on this scene)."""
-    from cpupathtrace_tpu.camera.camera import shoot_rays
-    from cpupathtrace_tpu.integrator.film import pixel_camera_coords
-    from cpupathtrace_tpu.integrator.sorted_wavefront import (
-        trace_megakernel_sorted,
-    )
-    from cpupathtrace_tpu.models.scenes import bench_camera, bench_dragon_scene
-
-    w = h = 20
-    spp = 4
-    scene = bench_dragon_scene(dragon_tris=2000, accel="binned")
-    cam = bench_camera()
-    opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=5)
-    xg, yg = np.meshgrid(
-        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
-    )
-    xc, yc = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
-    rays = shoot_rays(
-        cam,
-        jnp.tile(jnp.asarray(xc), spp),
-        jnp.tile(jnp.asarray(yc), spp),
-        1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
-    )
-    s1, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
-    s2, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.25, (m1, m2)
     np.testing.assert_allclose(
-        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-7
+        np.asarray(s_s), np.asarray(s_u), rtol=1e-5, atol=1e-7
     )
