@@ -76,6 +76,10 @@ def _dispatch_trace(scene, rays, options, key, differentiable):
 
         if megakernel_supported(scene):
             seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+            if os.environ.get("PTX_SORTED_WAVEFRONT") == "1":
+                from .sorted_wavefront import trace_megakernel_sorted
+
+                return trace_megakernel_sorted(scene, rays, options, seed)
             return trace_megakernel(scene, rays, options, seed)
     return trace(scene, rays, options, key, differentiable)
 
