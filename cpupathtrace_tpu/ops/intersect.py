@@ -452,7 +452,10 @@ def scene_intersect(scene: SceneData, o, d, t_max=None, live=None,
         )
 
         fn = binned_intersect_tpu if _on_tpu() else binned_intersect_ref
-        return fn(scene, o, d, t_max=t_max, live=live, any_hit=any_hit)
+        t, p = fn(scene, o, d, t_max=t_max, live=live, any_hit=any_hit)
+        if scene.gp_axis is not None:
+            t, p = _gp_combine(t, p, scene.gp_axis)
+        return t, p
 
     if scene.accel == "sweep":
         t, p = sweep_intersect(scene, o, d)
@@ -472,4 +475,22 @@ def scene_intersect(scene: SceneData, o, d, t_max=None, live=None,
         miss = (t < 0.0) | (t >= t_max)
         t = jnp.where(miss, -1.0, t)
         p = jnp.where(miss, -1, p)
+    if scene.gp_axis is not None:
+        t, p = _gp_combine(t, p, scene.gp_axis)
     return t, p
+
+
+def _gp_combine(t, p, axis_name: str):
+    """Combine per-shard nearest hits across the geometry-parallel mesh
+    axis (parallel/geometry.py): the winning t is the min over shards; on
+    exact-t ties the smallest primitive id wins (deterministic, matching
+    no single-device tie order in particular — ties are measure-zero for
+    generic scenes). Misses travel as +inf so they never win."""
+    t_c = jnp.where(p >= 0, t, jnp.inf)
+    t_min = jax.lax.pmin(t_c, axis_name)
+    cand = jnp.where(
+        (p >= 0) & (t_c <= t_min), p, jnp.int32(2 ** 31 - 1)
+    )
+    p_min = jax.lax.pmin(cand, axis_name)
+    hit = jnp.isfinite(t_min)
+    return jnp.where(hit, t_min, -1.0), jnp.where(hit, p_min, -1)

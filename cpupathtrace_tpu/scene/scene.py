@@ -55,7 +55,7 @@ BSDF_MIRROR = 2
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
         "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
-        "emissive_in_dense",
+        "emissive_in_dense", "gp_axis",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +166,11 @@ class SceneData:
     # tables (spheres, or — for binned scenes — big-partition triangles).
     # Required by the megakernel's in-kernel cluster traversal path.
     emissive_in_dense: bool = True
+    # Name of the mesh axis the cluster tables are sharded over
+    # (geometry-parallel intersection, parallel/geometry.py). When set,
+    # `scene_intersect` combines per-shard nearest hits with pmin
+    # collectives; must be None outside shard_map.
+    gp_axis: str | None = None
 
     @property
     def use_bvh(self) -> bool:
