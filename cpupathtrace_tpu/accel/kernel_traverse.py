@@ -264,6 +264,39 @@ def pair_slab_entries(bnd, rows_n, ox, oy, oz, ix, iy, iz):
     return jnp.stack(outs, axis=1)  # [B, rows_n, 128]
 
 
+def _root_gate(sup_v, ox, oy, oz, ix, iy, iz, bound):
+    """Scalar pregate: does ANY lane enter the union AABB of the valid
+    superclusters closer than its pruning bound (`bound` [rows,128],
+    0 = inactive lane)? One slab test (~30 vector ops) decides whether the
+    whole tier scan runs — on box-dominated workloads most bounce blocks
+    and nearly all shadow blocks never approach the cluster set, and the
+    sup-tier pair-slab pass ([Sp, rows, 128]) is their dominant cost."""
+    valid = sup_v[:, _B_VALID:_B_VALID + 1] > 0.5  # [Sp, 1]
+    lo = [
+        jnp.min(jnp.where(valid, sup_v[:, _B_LO + a:_B_LO + a + 1], _INF))
+        for a in range(3)
+    ]
+    hi = [
+        jnp.max(jnp.where(valid, sup_v[:, _B_HI + a:_B_HI + a + 1], -_INF))
+        for a in range(3)
+    ]
+    t1x, t2x = (lo[0] - ox) * ix, (hi[0] - ox) * ix
+    t1y, t2y = (lo[1] - oy) * iy, (hi[1] - oy) * iy
+    t1z, t2z = (lo[2] - oz) * iz, (hi[2] - oz) * iz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    enter = (
+        (tmax >= 0.0) & (tmin <= tmax) & (jnp.maximum(tmin, 0.0) < bound)
+    )
+    return jnp.max(jnp.where(enter, 1.0, 0.0)) > 0.5
+
+
 def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
     """Sign-normalized MT quantities for one ray row vs a resident record:
     `cols` = the first 17 feature columns as [T, 1] arrays. Returns
@@ -703,7 +736,7 @@ def traverse_clusters(
         )
 
     carry0 = (best_t, best_p, nx, ny, nz, mid)
-    run_gate = jnp.max(jnp.where(bound_fn(carry0) > 0.0, 1.0, 0.0)) > 0.5
+    run_gate = _root_gate(sup_v, ox, oy, oz, ix, iy, iz, bound_fn(carry0))
     if root is not None:
         run_gate = run_gate & root
     return _scan_pipelined(
@@ -745,7 +778,7 @@ def traverse_clusters_anyhit(
             enter_f=enter_f, use_conds=rec_conds,
         )
 
-    run_gate = jnp.max(jnp.where(t_lim > 0.0, 1.0, 0.0)) > 0.5
+    run_gate = _root_gate(sup_v, ox, oy, oz, ix, iy, iz, t_lim)
     if root is not None:
         run_gate = run_gate & root
     occ_f = _scan_pipelined(
