@@ -79,6 +79,7 @@ REC_LANES = 128  # triangles per cluster (one sublane-tile column)
 # Mosaic cannot slice sub-tile minor dims out of HBM memrefs for DMA.
 PAIR_COLS = 128
 GROUP = 32       # clusters per supercluster
+GROUP2 = 16      # superclusters per hyper page (<= _MASK_BITS: one mask)
 
 # Pair-record feature columns ([128 tris, 128] f32, 28 used):
 #   0:3   -N            (det = -d.N;  t_num uses o.N = -(c0..c2 . o))
@@ -135,12 +136,16 @@ def pack_pair_record_np(v0, v1, v2, cull, prim, n0, n1, n2, mat,
 
 def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
                           cl_n0, cl_n1, cl_n2, cl_mat, c_lo, c_hi):
-    """Pack the three traversal tiers from [C, L<=128, ...] cluster arrays.
+    """Pack the traversal tiers from [C, L<=128, ...] cluster arrays.
 
     Returns (pair_records [Cp, 128, 128], cl_bounds [S, 32, 128],
-    sup_bounds [Sp, 128]) with Cp = S * GROUP and Sp = S rounded up to a
-    sublane tile. Bounds rows carry lanes lo3/hi3/valid; padding clusters
-    carry valid = 0 so they are never entered."""
+    sup_pages [Hp, GROUP2, 128], hyp_bounds [Hp8, 128]) with
+    Cp = S * GROUP, Hp = ceil(S / GROUP2) supercluster pages, and Hp8 = Hp
+    rounded up to a sublane tile. Bounds rows carry lanes lo3/hi3/valid;
+    padding clusters/superclusters/hypers carry valid = 0 so they are
+    never entered. The hyper tier bounds GROUP2-supercluster pages: the
+    scan tests hypers first and pair-slabs only the descended pages, so
+    the fixed per-query vector work is ~Hp instead of ~S boxes."""
     v0 = np.asarray(cl_v0, np.float32)
     c, l, _ = v0.shape
     if l > REC_LANES:
@@ -178,7 +183,8 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     clb[:, :, _B_HI:_B_HI + 3] = hi_g
     clb[:, :, _B_VALID] = valid.reshape(s, GROUP)
 
-    sp = -(-s // 8) * 8
+    hp = -(-s // GROUP2)
+    sp = hp * GROUP2
     sup = np.zeros((sp, 128), np.float32)
     vmask = valid.reshape(s, GROUP) > 0.5
     any_v = vmask.any(axis=1)
@@ -189,7 +195,26 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
         any_v[:, None], np.where(vmask[..., None], hi_g, -np.inf).max(axis=1), 0.0
     )
     sup[:s, _B_VALID] = any_v.astype(np.float32)
-    return rec, clb, sup
+    sup_pages = sup.reshape(hp, GROUP2, 128)
+
+    hp8 = -(-hp // 8) * 8
+    hyp = np.zeros((hp8, 128), np.float32)
+    pmask = np.zeros(sp, bool)
+    pmask[:s] = any_v
+    pmask = pmask.reshape(hp, GROUP2)
+    p_any = pmask.any(axis=1)
+    slo = sup[:, _B_LO:_B_LO + 3].reshape(hp, GROUP2, 3)
+    shi = sup[:, _B_HI:_B_HI + 3].reshape(hp, GROUP2, 3)
+    hyp[:hp, _B_LO:_B_LO + 3] = np.where(
+        p_any[:, None],
+        np.where(pmask[..., None], slo, np.inf).min(axis=1), 0.0,
+    )
+    hyp[:hp, _B_HI:_B_HI + 3] = np.where(
+        p_any[:, None],
+        np.where(pmask[..., None], shi, -np.inf).max(axis=1), 0.0,
+    )
+    hyp[:hp, _B_VALID] = p_any.astype(np.float32)
+    return rec, clb, sup_pages, hyp
 
 
 def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat):
@@ -505,12 +530,12 @@ _N_BUCKETS = 4
 MASK_SLOTS = 96
 
 
-def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-                    scr_m, sem_c, sem2,
+def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
+                    scr_es, scr_ec, scr_m, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
                     bound_fn, process_fn, carry0, n_super, run_gate,
                     visit_ref, visit_base):
-    """Two-tier cluster scan: vectorized enter flags, SCALAR bitmask
+    """Three-tier cluster scan: vectorized enter flags, SCALAR bitmask
     stepping, and DOUBLE-BUFFERED record DMA.
 
     The naive scan pays a vector->scalar reduce + cond per tier step
@@ -518,20 +543,28 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
     per descended group (32 cluster steps) and ~12 us per supercluster
     scan, dominating dragon frames. Here every per-step decision is
     precomputed VECTORIZED: slab entries for all (box, ray) pairs land in
-    VMEM scratch once per tier ([Sp|GROUP, rows, 128]), one compare +
-    axis-reduce yields per-box enter flags, and the flags are packed into
-    scalar i32 bitmasks (exact f32 masked sums — see _MASK_BITS). The
-    scan then runs a scalar while-loop per mask that visits ONLY set bits:
-    ~0.05 us per skipped box instead of ~0.25, and zero vector work for
-    boxes nobody enters.
+    VMEM scratch per tier, one compare + axis-reduce yields per-box enter
+    flags, and the flags are packed into scalar i32 bitmasks (exact f32
+    masked sums — see _MASK_BITS). The scan then runs a scalar while-loop
+    per mask that visits ONLY set bits: ~0.05 us per skipped box instead
+    of ~0.25, and zero vector work for boxes nobody enters.
 
-    Pruning semantics: supercluster flags are computed against the
-    INITIAL bound (conservative superset); each descend re-checks its
-    group against the CURRENT bound (one reduce) and recomputes cluster
-    flags with it, so cross-group best_t tightening still prunes at both
-    tiers. Per-record `enter` masks are captured at schedule time —
-    conservative under later tightening (bounds only shrink; stale rows
-    do harmless extra work).
+    The tiers: HYPER bounds ([Hp8, 128], Hp = ceil(S / GROUP2) pages) are
+    pair-slabbed for every query — the only fixed vector cost, ~Hp boxes.
+    A descended hyper pair-slabs its GROUP2-supercluster page ([G2, rows,
+    128]); a descended supercluster DMAs + pair-slabs its GROUP-cluster
+    bounds page; entered clusters schedule their pair records. Before the
+    hyper tier existed the per-query fixed cost was the FULL supercluster
+    scan ([S, rows, 128] — ~2300 vector instructions at S = 128, rows = 8,
+    twice per bounce), which profiling implicated as the dragon frame's
+    "estimator floor".
+
+    Pruning semantics: hyper flags are computed against the INITIAL bound
+    (conservative superset); each hyper/supercluster descend re-checks its
+    box against the CURRENT bound and computes the next tier's flags with
+    it, so cross-box best_t tightening prunes at every tier. Per-record
+    `enter` masks are captured at schedule time — conservative under later
+    tightening (bounds only shrink; stale rows do harmless extra work).
 
     The record fetch of cluster k overlaps the pair test of cluster k-1:
     scheduling a needed record starts its DMA into scr2[par], then drains
@@ -543,10 +576,14 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
     """
     shp = ox.shape
     rows = shp[0]
-    n_sup_masks = -(-n_super // _MASK_BITS)
+    hp = sup_pg.shape[0]          # hyper pages
+    hp8 = hyp_v.shape[0]          # padded hyper rows
+    n_hyp_masks = -(-hp8 // _MASK_BITS)
     n_cl_masks = -(-GROUP // _MASK_BITS)
-    n_buckets = _N_BUCKETS if n_super > 8 else 1
-    cl_off = n_buckets * n_sup_masks
+    n_buckets = _N_BUCKETS if hp > 2 else 1
+    sup_slot = n_buckets * n_hyp_masks
+    cl_off = sup_slot + 1
+    assert GROUP2 <= _MASK_BITS  # one supercluster mask per page
     assert cl_off + n_cl_masks <= MASK_SLOTS
 
     def sched(idx, enter_f, st):
@@ -571,25 +608,24 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
         # are ref loads (Mosaic has no dynamic_slice on values). The
         # scratch may be taller than this query (shared between the
         # nearest and the merged-shadow row counts) — slice to `rows`.
-        scr_es[:, :rows] = pair_slab_entries(
-            sup_v, rows, ox, oy, oz, ix, iy, iz
-        )  # [Sp, rows, 128]
+        scr_eh[:, :rows] = pair_slab_entries(
+            hyp_v, rows, ox, oy, oz, ix, iy, iz
+        )  # [Hp8, rows, 128]
         bound0 = bound_fn(carry0)
 
-        sp = sup_v.shape[0]
-        sup_iota = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
-        sup_w = _bit_weights(sp, sup_iota)
-        # Per-supercluster any-lane-enters flag: reduce rows then lanes.
-        ent_b = scr_es[:, :rows] < bound0[None]
-        ent_s = jnp.where(ent_b, 1.0, 0.0)
-        flag_s = jnp.max(jnp.max(ent_s, axis=1), axis=1, keepdims=True)  # [Sp,1]
+        hyp_iota = jax.lax.broadcasted_iota(jnp.int32, (hp8, 1), 0)
+        hyp_w = _bit_weights(hp8, hyp_iota)
+        # Per-hyper any-lane-enters flag: reduce rows then lanes.
+        ent_b = scr_eh[:, :rows] < bound0[None]
+        ent_h = jnp.where(ent_b, 1.0, 0.0)
+        flag_h = jnp.max(jnp.max(ent_h, axis=1), axis=1, keepdims=True)  # [Hp8,1]
         if n_buckets > 1:
-            # Bucket groups front-to-back by block-min entry.
+            # Bucket hypers front-to-back by block-min entry.
             emin = jnp.min(
-                jnp.min(jnp.where(ent_b, scr_es[:, :rows], _INF), axis=1),
+                jnp.min(jnp.where(ent_b, scr_eh[:, :rows], _INF), axis=1),
                 axis=1, keepdims=True,
-            )  # [Sp, 1]
-            on = flag_s > 0.5
+            )  # [Hp8, 1]
+            on = flag_h > 0.5
             m0 = jnp.min(jnp.where(on, emin, _INF))
             m1 = jnp.max(jnp.where(on, emin, -_INF))
             span = jnp.maximum(m1 - m0, 1e-20)
@@ -599,13 +635,15 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
         # All packed masks land in SMEM so ONE flattened loop nest (a
         # single textual copy of descend/sched) walks them in order.
         for b in range(n_buckets):
-            fb = flag_s
+            fb = flag_h
             if n_buckets > 1:
-                fb = jnp.where(bidx == b, flag_s, 0.0)
-            masks = _pack_masks(fb, sup_w, sup_iota, sp, n_sup_masks)
-            for sm in range(n_sup_masks):
-                scr_m[b * n_sup_masks + sm] = masks[sm]
+                fb = jnp.where(bidx == b, flag_h, 0.0)
+            masks = _pack_masks(fb, hyp_w, hyp_iota, hp8, n_hyp_masks)
+            for hm in range(n_hyp_masks):
+                scr_m[b * n_hyp_masks + hm] = masks[hm]
 
+        sup_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP2, 1), 0)
+        sup_w = _bit_weights(GROUP2, sup_iota)
         cl_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
         cl_w = _bit_weights(GROUP, cl_iota)
 
@@ -648,33 +686,64 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
 
             return jax.lax.fori_loop(0, n_cl_masks, cl_outer, st)
 
-        st = (carry0, jnp.zeros(shp, jnp.float32), jnp.int32(0),
-              jnp.int32(0))
-
-        def sup_outer(i, st):
-            base = jax.lax.rem(i, jnp.int32(n_sup_masks)) * _MASK_BITS
+        def descend_page(h, st):
+            # Pair-slab the descended hyper's supercluster page against
+            # the CURRENT bound (tighter than bound0) and walk its bits.
+            scr_es[:, :rows] = pair_slab_entries(
+                sup_pg[h], rows, ox, oy, oz, ix, iy, iz
+            )  # [GROUP2, rows, 128]
+            bound = bound_fn(st[0])
+            ent_s = jnp.where(scr_es[:, :rows] < bound[None], 1.0, 0.0)
+            flag_s = jnp.max(jnp.max(ent_s, axis=1), axis=1, keepdims=True)
+            scr_m[sup_slot] = _pack_masks(
+                flag_s, sup_w, sup_iota, GROUP2, 1
+            )[0]
 
             def sup_bit(c):
                 m, st = c
-                s = _ctz(m & (-m)) + base
-                # Re-check against the CURRENT bound: a group flagged at
-                # bound0 may be pruned by now (nearest tightening /
-                # shadow full occlusion / a nearer bucket resolved).
+                g = _ctz(m & (-m))
+                # Re-check against the CURRENT bound: a group flagged
+                # above may be pruned by now (nearest tightening / shadow
+                # full occlusion).
                 bound = bound_fn(st[0])
                 need = jnp.max(
-                    jnp.where(scr_es[s, :rows] < bound, 1.0, 0.0)
+                    jnp.where(scr_es[g, :rows] < bound, 1.0, 0.0)
                 ) > 0.5
                 st = jax.lax.cond(
-                    need, lambda st: descend(s, st), lambda st: st, st
+                    need, lambda st: descend(h * GROUP2 + g, st),
+                    lambda st: st, st,
                 )
                 return (m & (m - 1), st)
 
             _, st = jax.lax.while_loop(
-                lambda c: c[0] != 0, sup_bit, (scr_m[i], st)
+                lambda c: c[0] != 0, sup_bit, (scr_m[sup_slot], st)
             )
             return st
 
-        st = jax.lax.fori_loop(0, n_buckets * n_sup_masks, sup_outer, st)
+        st = (carry0, jnp.zeros(shp, jnp.float32), jnp.int32(0),
+              jnp.int32(0))
+
+        def hyp_outer(i, st):
+            base = jax.lax.rem(i, jnp.int32(n_hyp_masks)) * _MASK_BITS
+
+            def hyp_bit(c):
+                m, st = c
+                h = _ctz(m & (-m)) + base
+                bound = bound_fn(st[0])
+                need = jnp.max(
+                    jnp.where(scr_eh[h, :rows] < bound, 1.0, 0.0)
+                ) > 0.5
+                st = jax.lax.cond(
+                    need, lambda st: descend_page(h, st), lambda st: st, st
+                )
+                return (m & (m - 1), st)
+
+            _, st = jax.lax.while_loop(
+                lambda c: c[0] != 0, hyp_bit, (scr_m[i], st)
+            )
+            return st
+
+        st = jax.lax.fori_loop(0, n_buckets * n_hyp_masks, hyp_outer, st)
         carry, entp, have, par = st
 
         def drain(carry):
@@ -689,8 +758,8 @@ def _scan_pipelined(sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
 
 
 def traverse_clusters(
-    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
-    sem_c, sem2,
+    sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es, scr_ec,
+    scr_m, sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     best_t, best_p, nx, ny, nz, mid,
     *,
@@ -703,8 +772,9 @@ def traverse_clusters(
 ):
     """Nearest-hit over the cluster set, inlined into a Pallas kernel.
 
-    sup_v: VMEM [Sp, 128] supercluster bounds. clb_hbm: ANY [S, 32, 128]
-    cluster-bounds pages. rec_hbm: ANY [S*32, 128, 128] pairwise records.
+    sup_pg: VMEM [Hp, GROUP2, 128] supercluster bound pages; hyp_v: VMEM
+    [Hp8, 128] hyper bounds. clb_hbm: ANY [S, 32, 128] cluster-bounds
+    pages. rec_hbm: ANY [S*32, 128, 128] pairwise records.
     scr_c: VMEM scratch (32, 128) (bounds page); scr2: VMEM scratch
     (2, 128, 128) (double-buffered record pages); sem_c: DMA semaphore;
     sem2: DMA semaphore pair.
@@ -736,20 +806,20 @@ def traverse_clusters(
         )
 
     carry0 = (best_t, best_p, nx, ny, nz, mid)
-    run_gate = _root_gate(sup_v, ox, oy, oz, ix, iy, iz, bound_fn(carry0))
+    run_gate = _root_gate(hyp_v, ox, oy, oz, ix, iy, iz, bound_fn(carry0))
     if root is not None:
         run_gate = run_gate & root
     return _scan_pipelined(
-        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
-        sem_c, sem2,
+        sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es,
+        scr_ec, scr_m, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, carry0, n_super, run_gate, visit_ref, 0,
     )
 
 
 def traverse_clusters_anyhit(
-    sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
-    sem_c, sem2,
+    sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es, scr_ec,
+    scr_m, sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     t_lim, occluded_f,
     *,
@@ -778,12 +848,12 @@ def traverse_clusters_anyhit(
             enter_f=enter_f, use_conds=rec_conds,
         )
 
-    run_gate = _root_gate(sup_v, ox, oy, oz, ix, iy, iz, t_lim)
+    run_gate = _root_gate(hyp_v, ox, oy, oz, ix, iy, iz, t_lim)
     if root is not None:
         run_gate = run_gate & root
     occ_f = _scan_pipelined(
-        sup_v, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec, scr_m,
-        sem_c, sem2,
+        sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es,
+        scr_ec, scr_m, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, occluded_f, n_super, run_gate, visit_ref, 2,
     )
@@ -794,10 +864,10 @@ def traverse_clusters_anyhit(
 # Standalone single-query kernel (tests + benchmarks)
 # ---------------------------------------------------------------------------
 
-def _single_kernel(sup_ref, clb_hbm, rec_hbm,
+def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
                    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-                   lim_r, t_out, p_out, scr_c, scr2, scr_es, scr_ec,
-                   scr_m, sem_c, sem2,
+                   lim_r, t_out, p_out, scr_c, scr2, scr_eh, scr_es,
+                   scr_ec, scr_m, sem_c, sem2,
                    *, n_super, any_hit):
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
@@ -805,8 +875,8 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
     shp = ox.shape
     if any_hit:
         occ = traverse_clusters_anyhit(
-            sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-            scr_m, sem_c, sem2,
+            sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
+            scr_es, scr_ec, scr_m, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             lim, jnp.zeros(shp, jnp.float32),
             n_super=n_super,
@@ -819,8 +889,8 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
         dummy = jnp.zeros(shp, jnp.float32)
         dmid = jnp.zeros(shp, jnp.int32)
         best_t, best_p, _, _, _, _ = traverse_clusters(
-            sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-            scr_m, sem_c, sem2,
+            sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
+            scr_es, scr_ec, scr_m, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             best_t, best_p, dummy, dummy, dummy, dmid,
             n_super=n_super,
@@ -833,7 +903,7 @@ def _single_kernel(sup_ref, clb_hbm, rec_hbm,
 @functools.partial(
     jax.jit, static_argnames=("n_super", "any_hit", "interpret")
 )
-def _single_call(sup, clb, records, comps, lim, n_super,
+def _single_call(sup, hyp, clb, records, comps, lim, n_super,
                  any_hit, interpret=False):
     rows = comps[0].shape[0]
     grid = (rows // 8,)
@@ -846,7 +916,9 @@ def _single_call(sup, clb, records, comps, lim, n_super,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(sup.shape, lambda i: (0, 0),
+            pl.BlockSpec(sup.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(hyp.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -859,14 +931,15 @@ def _single_call(sup, clb, records, comps, lim, n_super,
         scratch_shapes=[
             pltpu.VMEM((GROUP, 128), jnp.float32),
             pltpu.VMEM((2, records.shape[1], PAIR_COLS), jnp.float32),
-            pltpu.VMEM((sup.shape[0], 8, 128), jnp.float32),
+            pltpu.VMEM((hyp.shape[0], 8, 128), jnp.float32),
+            pltpu.VMEM((GROUP2, 8, 128), jnp.float32),
             pltpu.VMEM((GROUP, 8, 128), jnp.float32),
             pltpu.SMEM((MASK_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sup, clb, records, *comps, lim)
+    )(sup, hyp, clb, records, *comps, lim)
 
 
 def cluster_intersect_kernel(scene, o, d, t_max=None, any_hit=False,
@@ -898,8 +971,8 @@ def cluster_intersect_kernel(scene, o, d, t_max=None, any_hit=False,
     comps = [arr[:, j].reshape(rows, 128) for arr in (o, d) for j in range(3)]
     lim2 = lim.reshape(rows, 128)
     t, p = _single_call(
-        scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
-        comps, lim2,
+        scene.krn_sup_bounds, scene.krn_hyp_bounds, scene.krn_cl_bounds,
+        scene.krn_records, comps, lim2,
         n_super=int(scene.krn_cl_bounds.shape[0]),
         any_hit=any_hit, interpret=interpret,
     )

@@ -39,6 +39,7 @@ from ..scene.scene import SceneData, BSDF_GLASS, BSDF_LAMBERTIAN, BSDF_MIRROR
 from ..core.config import RenderOptions
 from ..accel.kernel_traverse import (
     GROUP,
+    GROUP2,
     MASK_SLOTS,
     PAIR_COLS,
     REC_LANES,
@@ -294,8 +295,8 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
         vis_ref = None
         pos = 0
         if n_super:
-            sup_ref, clb_hbm, rec_hbm, bigp_ref = rest[pos:pos + 4]
-            pos += 4
+            sup_ref, hyp_ref, clb_hbm, rec_hbm, bigp_ref = rest[pos:pos + 5]
+            pos += 5
             bigp_col = lambda i: bigp_ref[:, i:i + 1]
         if single_bounce:
             assert not debug_visits
@@ -316,9 +317,9 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 pos += 1
             shp = ox_ref.shape
         if n_super:
-            (scr_c, scr2, scr_es, scr_ec, scr_m,
-             sem_c, sem2) = rest[pos:pos + 7]
-            pos += 7
+            (scr_c, scr2, scr_eh, scr_es, scr_ec, scr_m,
+             sem_c, sem2) = rest[pos:pos + 8]
+            pos += 8
         if debug_visits:
             vis_ref = rest[pos]
             pos += 1
@@ -360,8 +361,8 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 )
             if n_super and not _SKIP_TRAVERSE:
                 bt, bp, nx, ny, nz, mid = traverse_clusters(
-                    sup_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_es, scr_ec,
-                    scr_m, sem_c, sem2,
+                    sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2,
+                    scr_eh, scr_es, scr_ec, scr_m, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super,
@@ -462,8 +463,8 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     # Cluster-set occlusion for lanes the dense tables left
                     # visible; inactive lanes carry t_lim = 0.
                     occ = traverse_clusters_anyhit(
-                        sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                        scr_es, scr_ec, scr_m, sem_c, sem2,
+                        sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2,
+                        scr_eh, scr_es, scr_ec, scr_m, sem_c, sem2,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
@@ -606,8 +607,8 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                       for d in em_draws]
                 cat = lambda i: jnp.concatenate([s[i] for s in sh], axis=0)
                 occ_all = traverse_clusters_anyhit(
-                    sup_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                    scr_es, scr_ec, scr_m, sem_c, sem2,
+                    sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2,
+                    scr_eh, scr_es, scr_ec, scr_m, sem_c, sem2,
                     cat(0), cat(1), cat(2), cat(3), cat(4), cat(5),
                     cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
                                       jnp.float32),
@@ -807,7 +808,7 @@ def megakernel_supported(scene: SceneData) -> bool:
             scene.big_v0.shape[0] <= REC_LANES
             and scene.sph_center.shape[0] <= _MAX_SPH
             and scene.emissive_cdf.shape[0] <= _MAX_EM
-            and scene.krn_sup_bounds.shape[0] <= _MAX_SUP
+            and scene.krn_cl_bounds.shape[0] <= _MAX_SUP
             # Emissive prims must live in the dense partition: the NEE
             # table resolves their geometry from the dense rows, and
             # keeping emitters out of the cluster set spares shadow rays
@@ -949,7 +950,7 @@ def _pack_tables(scene: SceneData):
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
                em_k, max_depth, epsilon, n_super=0,
                block_rows=_BLOCK_ROWS, debug_visits=False):
-    tri, sph, mat, lgt, em, sup, clb, rec, bigp = tables
+    tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec(
@@ -982,11 +983,12 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         table_specs += [
             vmem_full,
+            vmem_full,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             vmem_full,
         ]
-        table_args += [sup, clb, rec, bigp]
+        table_args += [sup, hyp, clb, rec, bigp]
         # Slab-entry scratch is sized for the tallest query: the merged
         # shadow pass runs em_k * block_rows rows (kernel_traverse.py
         # slices to each query's row count).
@@ -995,7 +997,8 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         scratch = [
             pltpu.VMEM((GROUP, 128), jnp.float32),
             pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
-            pltpu.VMEM((sup.shape[0], rows_max, 128), jnp.float32),
+            pltpu.VMEM((hyp.shape[0], rows_max, 128), jnp.float32),
+            pltpu.VMEM((GROUP2, rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
             pltpu.SMEM((MASK_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -1053,15 +1056,15 @@ def trace_megakernel(
             os.environ.get("PTX_KRN_BLOCK_ROWS", _KRN_BLOCK_ROWS)
         )
         tables = tables + (
-            scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
-            scene.krn_big_pair,
+            scene.krn_sup_bounds, scene.krn_hyp_bounds,
+            scene.krn_cl_bounds, scene.krn_records, scene.krn_big_pair,
         )
     else:
         n_super = 0
         n_tri_tbl = int(scene.tri_v0.shape[0])
         block_rows = _BLOCK_ROWS
         z = jnp.zeros((1,), jnp.float32)
-        tables = tables + (z, z, z, z)
+        tables = tables + (z, z, z, z, z)
     o = rays.origin
     d = rays.direction
     r = o.shape[0]

@@ -37,7 +37,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.kernel_traverse import GROUP, MASK_SLOTS, PAIR_COLS, REC_LANES
+from ..accel.kernel_traverse import (
+    GROUP,
+    GROUP2,
+    MASK_SLOTS,
+    PAIR_COLS,
+    REC_LANES,
+)
 from ..core.config import RenderOptions
 from ..scene.scene import SceneData
 from .pallas_megakernel import (
@@ -131,7 +137,7 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
 def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
                  n_em, em_k, epsilon, n_super, block_rows):
     """One bounce of the megakernel body over [rows, 128] state blocks."""
-    tri, sph, mat, lgt, em, sup, clb, rec, bigp = tables
+    tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = state[1].shape[0]
     grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec(
@@ -155,17 +161,19 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
         vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         table_specs += [
             vmem_full,
+            vmem_full,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             vmem_full,
         ]
-        table_args += [sup, clb, rec, bigp]
+        table_args += [sup, hyp, clb, rec, bigp]
         rows_max = max(1, em_k) * block_rows
         rec_rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
         scratch = [
             pltpu.VMEM((GROUP, 128), jnp.float32),
             pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
-            pltpu.VMEM((sup.shape[0], rows_max, 128), jnp.float32),
+            pltpu.VMEM((hyp.shape[0], rows_max, 128), jnp.float32),
+            pltpu.VMEM((GROUP2, rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
             pltpu.SMEM((MASK_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -208,15 +216,15 @@ def trace_megakernel_sorted(
             os.environ.get("PTX_KRN_BLOCK_ROWS", _KRN_BLOCK_ROWS)
         )
         tables = tables + (
-            scene.krn_sup_bounds, scene.krn_cl_bounds, scene.krn_records,
-            scene.krn_big_pair,
+            scene.krn_sup_bounds, scene.krn_hyp_bounds,
+            scene.krn_cl_bounds, scene.krn_records, scene.krn_big_pair,
         )
     else:
         n_super = 0
         n_tri_tbl = int(scene.tri_v0.shape[0])
         block_rows = _KRN_BLOCK_ROWS
         z = jnp.zeros((1,), jnp.float32)
-        tables = tables + (z, z, z, z)
+        tables = tables + (z, z, z, z, z)
 
     o = jnp.asarray(rays.origin, jnp.float32)
     d = jnp.asarray(rays.direction, jnp.float32)

@@ -112,7 +112,8 @@ def shard_scene_geometry(
         trv_bounds=jnp.zeros((1, 8), f32),
         krn_records=jnp.zeros((1, 128, 128), f32),
         krn_cl_bounds=jnp.zeros((1, 32, 128), f32),
-        krn_sup_bounds=jnp.zeros((8, 128), f32),
+        krn_sup_bounds=jnp.zeros((1, 16, 128), f32),
+        krn_hyp_bounds=jnp.zeros((8, 128), f32),
         krn_big_pair=jnp.zeros((1, 1), f32),
         krn_cluster_size=0,
     )

@@ -49,7 +49,8 @@ BSDF_MIRROR = 2
         "blk_lo", "blk_hi",
         "big_v0", "big_v1", "big_v2", "big_cull", "big_prim",
         "root_lo", "root_hi", "trv_blocks", "trv_bounds",
-        "krn_records", "krn_cl_bounds", "krn_sup_bounds", "krn_big_pair",
+        "krn_records", "krn_cl_bounds", "krn_sup_bounds", "krn_hyp_bounds",
+        "krn_big_pair",
     ],
     meta_fields=[
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
@@ -136,13 +137,15 @@ class SceneData:
     trv_blocks: jnp.ndarray
     trv_bounds: jnp.ndarray
     # IN-KERNEL traversal tiers (accel/kernel_traverse.py) — an independent
-    # 128-triangle clustering of the small partition: records [C, 24, 128]
-    # (rows v0/e1/e2/cull/prim/n0/n1/n2/mat, lanes = tris), cluster-bounds
-    # pages [S, 8, 128] (32 clusters per supercluster), supercluster
-    # bounds [S, 8] (the SMEM-resident tier). [1, ...] zeros when absent.
+    # clustering of the small partition: pairwise records, cluster-bounds
+    # pages [S, 32, 128] (32 clusters per supercluster), supercluster
+    # bound pages [Hp, 16, 128] (16 superclusters per hyper), and hyper
+    # bounds [Hp8, 128] (the always-scanned tier). [1|8, ...] zeros when
+    # absent.
     krn_records: jnp.ndarray
     krn_cl_bounds: jnp.ndarray
     krn_sup_bounds: jnp.ndarray
+    krn_hyp_bounds: jnp.ndarray
     # Big-partition pair record [128, 128] for the megakernel's
     # always-tested dense triangle set (walls/emitters); [1, 1] when absent.
     krn_big_pair: jnp.ndarray
@@ -541,7 +544,8 @@ class SceneBuilder:
                 kcl.members >= 0, small_idx[np.maximum(kcl.members, 0)], -1
             ).astype(np.int32)
             kidx = np.maximum(kmembers, 0)
-            krn_records, krn_cl_bounds, krn_sup_bounds = pack_kernel_tables_np(
+            (krn_records, krn_cl_bounds, krn_sup_bounds,
+             krn_hyp_bounds) = pack_kernel_tables_np(
                 tri_v[0][kidx], tri_v[1][kidx], tri_v[2][kidx],
                 tri_cull[kidx] & (kmembers >= 0), kmembers,
                 tri_n[0][kidx], tri_n[1][kidx], tri_n[2][kidx],
@@ -558,7 +562,8 @@ class SceneBuilder:
         else:
             krn_records = np.zeros((1, 128, 128), f32)
             krn_cl_bounds = np.zeros((1, 32, 128), f32)
-            krn_sup_bounds = np.zeros((8, 128), f32)
+            krn_sup_bounds = np.zeros((1, 16, 128), f32)
+            krn_hyp_bounds = np.zeros((8, 128), f32)
 
         if accel == "binned":
             emissive_in_dense = all(
@@ -599,6 +604,7 @@ class SceneBuilder:
             krn_records=jnp.asarray(krn_records),
             krn_cl_bounds=jnp.asarray(krn_cl_bounds),
             krn_sup_bounds=jnp.asarray(krn_sup_bounds),
+            krn_hyp_bounds=jnp.asarray(krn_hyp_bounds),
             krn_big_pair=jnp.asarray(krn_big_pair),
             krn_cluster_size=int(krn_cluster_size),
             n_big=n_big,
