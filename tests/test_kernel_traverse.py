@@ -169,3 +169,32 @@ def test_bitmask_helpers_roundtrip():
                 got.append(int(_ctz(jnp.int32(low))) + mi * _MASK_BITS)
                 m &= m - 1
         assert got == list(np.nonzero(flags)[0]), (n, got)
+
+
+@pytest.mark.slow
+def test_multi_page_hyper_walk():
+    """A scene big enough for several hyper pages (Hp >= 3 turns on the
+    front-to-back hyper buckets): 70k small triangles -> ~1100 clusters ->
+    >= 33 superclusters -> 3 sup pages. Exercises descend_page with h > 0
+    and the bucketed hyper masks, which the small fixtures (Hp = 1) never
+    reach."""
+    big = bench_dragon_scene(dragon_tris=70000, accel="binned")
+    hp = big.krn_sup_bounds.shape[0]
+    assert hp >= 3, f"expected >= 3 sup pages, got {hp}"
+    rng = np.random.default_rng(5)
+    n = 1024
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_k, p_k = map(
+        np.asarray, cluster_intersect_kernel(big, o, d, interpret=True)
+    )
+    t_o, p_o = _oracle(big, o, d, np.full(n, np.inf))
+    hit_k = p_k >= 0
+    hit_o = p_o >= 0
+    assert (hit_k == hit_o).mean() > 0.995
+    both = hit_k & hit_o
+    assert both.sum() > 100
+    rel = np.abs(t_k[both] - t_o[both]) / np.maximum(t_o[both], 1e-9)
+    assert np.quantile(rel, 0.99) < 1e-4
+    assert (p_k[both] == p_o[both]).mean() > 0.99
