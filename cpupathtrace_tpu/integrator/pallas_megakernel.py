@@ -276,7 +276,7 @@ N_STATE = len(STATE_FIELDS)
 
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                      epsilon, n_super=0, debug_visits=False,
-                     single_bounce=False):
+                     single_bounce=False, dense_pair=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes four extra inputs (supercluster VMEM bounds, cluster
     bounds pages, cluster records, big-partition pair record) and four
@@ -297,6 +297,10 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
         if n_super:
             sup_ref, hyp_ref, clb_hbm, rec_hbm, bigp_ref = rest[pos:pos + 5]
             pos += 5
+        elif dense_pair:
+            bigp_ref = rest[pos]
+            pos += 1
+        if n_super or dense_pair:
             bigp_col = lambda i: bigp_ref[:, i:i + 1]
         if single_bounce:
             assert not debug_visits
@@ -338,12 +342,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             collected = collected_f > 0.5
             alive = alive_f > 0.5
 
-            if n_super:
-                # Binned scene: spheres via the (tiny) SMEM loop, the big
-                # triangle partition via one always-tested pair record, the
-                # clustered mesh via the tiered traversal. Prim ids mix
-                # table space (spheres) and global space (triangles) — only
-                # `>= 0` (hit) is consumed, so mixing is benign.
+            if n_super or dense_pair:
+                # Binned or dense-pair scene: spheres via the (tiny) SMEM
+                # loop, the dense triangle set via one always-tested pair
+                # record, a clustered mesh (binned only) via the tiered
+                # traversal. Prim ids mix table space (spheres) and global
+                # space (triangles) — only `>= 0` (hit) is consumed, so
+                # mixing is benign.
                 bt, bp, nx, ny, nz, mid = _intersect_tables(
                     tri_ref, sph_ref, 0, n_sph, ox, oy, oz, dx, dy, dz, True
                 )
@@ -423,12 +428,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 soy = pyp + ldy * epsilon
                 soz = pzp + ldz * epsilon
                 st_t, st_p = _intersect_tables(
-                    tri_ref, sph_ref, 0 if n_super else n_tri, n_sph,
+                    tri_ref, sph_ref,
+                    0 if (n_super or dense_pair) else n_tri, n_sph,
                     sox, soy, soz, ldx, ldy, ldz, False,
                 )
                 lt = jnp.where(st_p >= 0, st_t, -1.0)
                 visible = (lt < 0.0) | (lt >= dist - epsilon)
-                if n_super and "bigpair" not in _ABLATE:
+                if (n_super or dense_pair) and "bigpair" not in _ABLATE:
                     # Big-partition occlusion, pairwise.
                     smx, smy, smz = _moment(sox, soy, soz, ldx, ldy, ldz)
                     occ_big = pair_test_anyhit(
@@ -945,11 +951,12 @@ def _pack_tables(scene: SceneData):
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "max_depth", "epsilon", "n_super",
-                     "block_rows", "debug_visits"),
+                     "block_rows", "debug_visits", "dense_pair"),
 )
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
                em_k, max_depth, epsilon, n_super=0,
-               block_rows=_BLOCK_ROWS, debug_visits=False):
+               block_rows=_BLOCK_ROWS, debug_visits=False,
+               dense_pair=False):
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
@@ -962,7 +969,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
     debug_visits = bool(debug_visits and n_super)
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
-        n_super=n_super, debug_visits=debug_visits,
+        n_super=n_super, debug_visits=debug_visits, dense_pair=dense_pair,
     )
     table_specs = [
         smem((1,)),
@@ -975,6 +982,9 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
     out_shape = [
         jax.ShapeDtypeStruct((rows, _LANES), jnp.float32) for _ in range(4)
     ]
+    if dense_pair and not n_super:
+        table_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        table_args += [bigp]
     if n_super:
         # Cluster tiers: supercluster bounds + the big-partition pair
         # record resident in VMEM; cluster bounds pages + triangle
@@ -1064,7 +1074,10 @@ def trace_megakernel(
         n_tri_tbl = int(scene.tri_v0.shape[0])
         block_rows = _BLOCK_ROWS
         z = jnp.zeros((1,), jnp.float32)
-        tables = tables + (z, z, z, z, z)
+        tables = tables + (z, z, z, z, scene.krn_big_pair)
+    dense_pair = (not scene.has_kernel_records) and (
+        scene.krn_big_pair.shape[0] > 1
+    )
     o = rays.origin
     d = rays.direction
     r = o.shape[0]
@@ -1086,6 +1099,7 @@ def trace_megakernel(
         max_depth=int(options.max_depth), epsilon=float(options.epsilon),
         n_super=n_super, block_rows=block_rows,
         debug_visits=bool(debug_visits and n_super),
+        dense_pair=dense_pair,
     )
     out_r, out_g, out_b, coll = outs[:4]
     coll = coll.reshape(-1)[:r] > 0.5

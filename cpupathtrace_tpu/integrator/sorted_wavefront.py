@@ -132,10 +132,11 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
 @partial(
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
-                     "epsilon", "n_super", "block_rows"),
+                     "epsilon", "n_super", "block_rows", "dense_pair"),
 )
 def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
-                 n_em, em_k, epsilon, n_super, block_rows):
+                 n_em, em_k, epsilon, n_super, block_rows,
+                 dense_pair=False):
     """One bounce of the megakernel body over [rows, 128] state blocks."""
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = state[1].shape[0]
@@ -149,6 +150,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth=0,
         epsilon=epsilon, n_super=n_super, single_bounce=True,
+        dense_pair=dense_pair,
     )
     table_specs = [
         smem((2,)),
@@ -157,6 +159,9 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
     ]
     table_args = [seed_depth, tri, sph, mat, lgt, em]
     scratch = []
+    if dense_pair and not n_super:
+        table_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        table_args += [bigp]
     if n_super:
         vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         table_specs += [
@@ -224,7 +229,10 @@ def trace_megakernel_sorted(
         n_tri_tbl = int(scene.tri_v0.shape[0])
         block_rows = _KRN_BLOCK_ROWS
         z = jnp.zeros((1,), jnp.float32)
-        tables = tables + (z, z, z, z, z)
+        tables = tables + (z, z, z, z, scene.krn_big_pair)
+    dense_pair = (not scene.has_kernel_records) and (
+        scene.krn_big_pair.shape[0] > 1
+    )
 
     o = jnp.asarray(rays.origin, jnp.float32)
     d = jnp.asarray(rays.direction, jnp.float32)
@@ -244,7 +252,7 @@ def trace_megakernel_sorted(
         n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
         n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
         epsilon=float(options.epsilon), n_super=n_super,
-        block_rows=block_rows,
+        block_rows=block_rows, dense_pair=dense_pair,
     )
     max_depth = int(options.max_depth)
     lo = scene.root_lo

@@ -564,6 +564,21 @@ class SceneBuilder:
             krn_cl_bounds = np.zeros((1, 32, 128), f32)
             krn_sup_bounds = np.zeros((1, 16, 128), f32)
             krn_hyp_bounds = np.zeros((8, 128), f32)
+            if 1 <= n_tri <= 128:
+                # Dense-pair record: small non-binned scenes run their
+                # whole triangle set as ONE pairwise record instead of the
+                # serial SMEM fori loop (per-iteration scalar loads stall
+                # ~0.7 us/ray/bounce — same rationale as the binned big
+                # partition, accel/kernel_traverse.py).
+                from ..accel.kernel_traverse import pack_pair_record_np
+
+                prim = np.arange(tpad, dtype=np.int32)
+                prim[n_tri:] = -1
+                krn_big_pair = pack_pair_record_np(
+                    tri_v[0], tri_v[1], tri_v[2],
+                    tri_cull & (prim >= 0), prim,
+                    tri_n[0], tri_n[1], tri_n[2], tri_mat,
+                )
 
         if accel == "binned":
             emissive_in_dense = all(

@@ -182,9 +182,14 @@ def test_multi_page_hyper_walk():
     hp = big.krn_sup_bounds.shape[0]
     assert hp >= 3, f"expected >= 3 sup pages, got {hp}"
     rng = np.random.default_rng(5)
-    n = 1024
-    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    # 256 live rays from a camera-like shell (coherent-ish: bounds the
+    # record-visit count, which dominates interpret-mode runtime); the
+    # remaining block lanes are inactive padding.
+    n = 256
+    o = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    o[:, 2] -= 0.9
     d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     t_k, p_k = map(
         np.asarray, cluster_intersect_kernel(big, o, d, interpret=True)
@@ -194,7 +199,7 @@ def test_multi_page_hyper_walk():
     hit_o = p_o >= 0
     assert (hit_k == hit_o).mean() > 0.995
     both = hit_k & hit_o
-    assert both.sum() > 100
+    assert both.sum() > 50
     rel = np.abs(t_k[both] - t_o[both]) / np.maximum(t_o[both], 1e-9)
     assert np.quantile(rel, 0.99) < 1e-4
     assert (p_k[both] == p_o[both]).mean() > 0.99
