@@ -166,6 +166,24 @@ def run_verify():
     log(f"# verify megakernel-vs-wavefront on-chip: mean {mean_m:.5f} vs "
         f"{mean_j:.5f} (rel {rel:.3f})")
     ok &= rel < 0.05
+
+    # --- Sorted-wavefront driver vs the while-loop megakernel, on-chip:
+    # independent RNG streams, so parity is statistical; coverage (alpha)
+    # of a closed box agrees exactly.
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+
+    s_s, _ = jax.jit(
+        lambda r: trace_megakernel_sorted(box, r, opts, 99)
+    )(rays)
+    s_s = np.asarray(s_s)
+    mean_s = float(s_s[:, :3].mean())
+    rel_s = abs(mean_s - mean_m) / max(mean_m, 1e-9)
+    log(f"# verify sorted-vs-megakernel on-chip: mean {mean_s:.5f} vs "
+        f"{mean_m:.5f} (rel {rel_s:.3f})")
+    ok &= rel_s < 0.05
+    ok &= bool((s_s[:, 3] == np.asarray(s_m)[:, 3]).all())
     return bool(ok)
 
 
