@@ -102,7 +102,7 @@ def test_megakernel_specular_parity():
     scene = b.build()
     assert megakernel_supported(scene)
 
-    rays = _rays(2048, seed=3)
+    rays = _rays(1024, seed=3)
     opts = RenderOptions(8, 8, 1, 1, max_depth=4)
     sp_ref, coll_ref = trace(scene, rays, opts, jax.random.PRNGKey(0))
     sp_mk, coll_mk = trace_megakernel(scene, rays, opts, 77)
@@ -120,22 +120,25 @@ def test_megakernel_specular_parity():
 def test_sorted_wavefront():
     """The sorted-wavefront driver (per-bounce coherence sort + single
     -bounce step kernel) in one pass:
-      * exact coverage + statistical radiance vs the while-loop megakernel
-        (independent RNG streams), and
+      * exact coverage + statistical radiance vs the jnp wavefront (the
+        C++-parity-tested ground truth; independent RNG streams) — the
+        sorted-vs-while-loop-megakernel comparison runs on real hardware in
+        `bench.py --verify`, and tracing that third Pallas program here
+        would dominate the suite budget, and
       * BIT-exact agreement between sorted and unsorted runs — each ray's
         RNG stream rides its carried state, so the coherence sort must be
         transparent (cross-record exact-t ties are the only theoretical
         exception and do not occur on this scene)."""
     from cpupathtrace_tpu.camera.camera import shoot_rays
     from cpupathtrace_tpu.integrator.film import pixel_camera_coords
-    from cpupathtrace_tpu.integrator.pallas_megakernel import trace_megakernel
     from cpupathtrace_tpu.integrator.sorted_wavefront import (
         trace_megakernel_sorted,
     )
     from cpupathtrace_tpu.models.scenes import bench_camera, bench_dragon_scene
 
     w = h = 16
-    spp = 4
+    spp = 2  # 512 rays: the bit-exactness check is scale-free; the
+    # statistical megakernel comparison gets a sqrt(2)-wider bound.
     scene = bench_dragon_scene(dragon_tris=1200, accel="binned")
     cam = bench_camera()
     opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=4)
@@ -149,14 +152,14 @@ def test_sorted_wavefront():
         jnp.tile(jnp.asarray(yc), spp),
         1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
     )
-    s_m, c_m = trace_megakernel(scene, rays, opts, 1234)
+    s_m, c_m = trace(scene, rays, opts, jax.random.PRNGKey(4))
     s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
     s_u, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
 
     assert np.array_equal(np.asarray(c_m), np.asarray(c_s))
     m1 = float(np.asarray(s_m)[:, :3].mean())
     m2 = float(np.asarray(s_s)[:, :3].mean())
-    assert abs(m1 - m2) / max(m1, 1e-9) < 0.25, (m1, m2)
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.35, (m1, m2)
     np.testing.assert_allclose(
         np.asarray(s_s), np.asarray(s_u), rtol=1e-5, atol=1e-7
     )
