@@ -27,7 +27,13 @@ from .scene.scene import (
     SceneBuilder,
     SceneData,
 )
-from .scene.geometry import HostTriangle, make_box, make_plane, transform_triangles
+from .scene.geometry import (
+    HostTriangle,
+    TriangleBatch,
+    make_box,
+    make_plane,
+    transform_triangles,
+)
 from .scene.mesh import load_mesh
 from .integrator.film import render, render_chunk, render_tile
 from .integrator.wavefront import trace
@@ -42,7 +48,8 @@ __all__ = [
     "APERTURE_NONE", "APERTURE_CIRCULAR", "APERTURE_HEXAGONAL",
     "Material", "SceneBuilder", "SceneData",
     "BSDF_LAMBERTIAN", "BSDF_GLASS", "BSDF_MIRROR",
-    "HostTriangle", "make_plane", "make_box", "transform_triangles",
+    "HostTriangle", "TriangleBatch", "make_plane", "make_box",
+    "transform_triangles",
     "load_mesh",
     "render", "render_chunk", "render_tile", "trace",
     "tone_map", "gamma_correct", "post_process",

@@ -52,49 +52,67 @@ def build_cluster_bvh(
     n = prim_lo.shape[0]
     base = build_bvh(prim_lo, prim_hi, use_native=use_native)
 
-    # Collect subtree primitive sets by cutting the base tree at nodes whose
-    # subtree size <= cluster_size. Subtree sizes via a reverse pass (children
-    # always have higher indices than parents in the builder's layout).
+    # Cut the base tree at the first node (walking from the root) whose
+    # subtree holds <= cluster_size primitives. All array work, swept one
+    # tree LEVEL at a time (O(depth) numpy passes instead of O(nodes)
+    # Python steps):
+    #   * levels: frontier expansion root -> children;
+    #   * subtree primitive counts: bottom-up by level;
+    #   * DFS-pre-order leaf offsets: top-down by level
+    #     (left child inherits, right child adds the left subtree's count)
+    #     — this is what keeps clusters emitted in the left-first DFS
+    #     order the supercluster grouping relies on (spatially
+    #     consecutive clusters share tight union bounds);
+    #   * cut nodes: size fits and the parent's doesn't (sizes shrink
+    #     monotonically down the tree);
+    #   * members: each cluster is a contiguous run of the DFS leaf
+    #     sequence; bounds are the cut node's stored bounds.
     n_nodes = base.prim.shape[0]
-    size = np.where(base.prim >= 0, 1, 0).astype(np.int64)
-    for i in range(n_nodes - 1, -1, -1):
-        if base.prim[i] < 0:
-            size[i] = size[base.left[i]] + size[base.right[i]]
+    leaf = base.prim >= 0
+    left = base.left.astype(np.int64)
+    right = base.right.astype(np.int64)
 
-    clusters: list[np.ndarray] = []
-    cluster_of_node: dict[int, int] = {}
+    levels: list[np.ndarray] = [np.zeros(1, np.int64)]
+    while True:
+        inner = levels[-1][~leaf[levels[-1]]]
+        if inner.size == 0:
+            break
+        levels.append(np.concatenate([left[inner], right[inner]]))
 
-    def leaves_under(node: int) -> np.ndarray:
-        out = []
-        stack = [node]
-        while stack:
-            k = stack.pop()
-            if base.prim[k] >= 0:
-                out.append(base.prim[k])
-            else:
-                stack.append(base.right[k])
-                stack.append(base.left[k])
-        return np.asarray(out, np.int64)
+    size = np.where(leaf, 1, 0).astype(np.int64)
+    for lvl in reversed(levels):
+        inner = lvl[~leaf[lvl]]
+        size[inner] = size[left[inner]] + size[right[inner]]
 
-    # Walk from the root; cut at the first node with size <= cluster_size.
-    stack = [0]
-    while stack:
-        k = stack.pop()
-        if size[k] <= cluster_size or base.prim[k] >= 0:
-            cluster_of_node[k] = len(clusters)
-            clusters.append(leaves_under(k))
-        else:
-            stack.append(base.right[k])
-            stack.append(base.left[k])
+    leaf_start = np.zeros(n_nodes, np.int64)  # DFS rank of first leaf
+    for lvl in levels:
+        inner = lvl[~leaf[lvl]]
+        leaf_start[left[inner]] = leaf_start[inner]
+        leaf_start[right[inner]] = leaf_start[inner] + size[left[inner]]
 
-    c = len(clusters)
+    parent_size = np.full(n_nodes, np.iinfo(np.int64).max, np.int64)
+    internal = np.flatnonzero(~leaf)
+    parent_size[left[internal]] = size[internal]
+    parent_size[right[internal]] = size[internal]
+    cut_nodes = np.flatnonzero(
+        (size <= cluster_size) & (parent_size > cluster_size)
+    )
+    cut_nodes = cut_nodes[np.argsort(leaf_start[cut_nodes], kind="stable")]
+
+    leaf_nodes = np.flatnonzero(leaf)
+    ordered_prims = np.empty(n, np.int64)  # leaves in DFS order
+    ordered_prims[leaf_start[leaf_nodes]] = base.prim[leaf_nodes]
+    starts = leaf_start[cut_nodes]
+    lens = size[cut_nodes]
+
+    c = cut_nodes.shape[0]
     members = np.full((c, cluster_size), -1, np.int32)
-    c_lo = np.empty((c, 3), np.float32)
-    c_hi = np.empty((c, 3), np.float32)
-    for i, idx in enumerate(clusters):
-        members[i, : idx.shape[0]] = idx
-        c_lo[i] = prim_lo[idx].min(axis=0)
-        c_hi[i] = prim_hi[idx].max(axis=0)
+    cols = np.arange(cluster_size, dtype=np.int64)
+    in_run = cols[None, :] < lens[:, None]
+    gather = starts[:, None] + np.minimum(cols[None, :], lens[:, None] - 1)
+    members[in_run] = ordered_prims[gather[in_run]]
+    c_lo = base.lo[cut_nodes].astype(np.float32)
+    c_hi = base.hi[cut_nodes].astype(np.float32)
 
     top = build_bvh(c_lo, c_hi, use_native=use_native)
     return ClusterBVH(

@@ -160,11 +160,12 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
 
     rec = np.zeros((cp, l, PAIR_COLS), np.float32)
     rec[:, :, _C_PRIM] = -1.0
-    rec[:c] = _pack_pair_records_batch(
+    _pack_pair_records_batch(
         v0, np.asarray(cl_v1, np.float32), np.asarray(cl_v2, np.float32),
         np.asarray(cl_cull, np.float32), prim,
         np.asarray(cl_n0, np.float32), np.asarray(cl_n1, np.float32),
         np.asarray(cl_n2, np.float32), np.asarray(cl_mat, np.float32),
+        out=rec[:c],
     )
 
     lo = np.asarray(c_lo, np.float32)
@@ -217,16 +218,24 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     return rec, clb, sup_pages, hyp
 
 
-def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat):
-    """Vectorized pack_pair_record_np over a [C, L, ...] cluster batch."""
+def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat,
+                             out=None):
+    """Vectorized pack_pair_record_np over a [C, L, ...] cluster batch.
+
+    `out` ([C, L, PAIR_COLS] f32, zeroed with prim column -1) lets the
+    caller pack straight into a preallocated table — at dragon scale the
+    record tensor is ~0.5 GB, so skipping the extra alloc+copy matters."""
     c, l, _ = v0.shape
     e1 = v1 - v0
     e2 = v2 - v0
     n = np.cross(e1, e2)
     live = prim >= 0
     n = np.where(live[..., None], n, 0.0)
-    rec = np.zeros((c, l, PAIR_COLS), np.float32)
-    rec[:, :, _C_PRIM] = -1.0
+    if out is None:
+        rec = np.zeros((c, l, PAIR_COLS), np.float32)
+        rec[:, :, _C_PRIM] = -1.0
+    else:
+        rec = out
     rec[:, :l, 0:3] = -n
     rec[:, :l, 3:6] = e2
     rec[:, :l, 6:9] = np.cross(v0, e2)

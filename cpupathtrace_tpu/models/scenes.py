@@ -97,11 +97,12 @@ def cornell_demo_scene(
             ]
         )
         if dragon_obj is not None:
-            tris = load_mesh(dragon_obj, transform, cull_backface=False, smooth=True)
+            tris = load_mesh(dragon_obj, transform, cull_backface=False,
+                             smooth=True, as_batch=True)
         else:
             tris = load_mesh(
                 standin_dragon_obj(dragon_tris), transform,
-                cull_backface=False, smooth=True,
+                cull_backface=False, smooth=True, as_batch=True,
             )
         b.add_triangles(tris, glass)
 
@@ -174,10 +175,12 @@ def bench_dragon_scene(
         [[0.01, 0, 0, 0], [0, 0.01, 0, -0.5], [0, 0, 0.01, 0], [0, 0, 0, 1.0]]
     )
     if dragon_obj is not None:
-        tris = load_mesh(dragon_obj, transform, cull_backface=False, smooth=True)
+        tris = load_mesh(dragon_obj, transform, cull_backface=False,
+                         smooth=True, as_batch=True)
     else:
         tris = load_mesh(
-            standin_dragon_obj(dragon_tris), transform, cull_backface=False, smooth=True
+            standin_dragon_obj(dragon_tris), transform, cull_backface=False,
+            smooth=True, as_batch=True,
         )
     b.add_triangles(tris, glass)
     return b.build(accel=accel, cluster_size=cluster_size)

@@ -25,7 +25,7 @@ import io as _io
 
 import numpy as np
 
-from .geometry import HostTriangle
+from .geometry import HostTriangle, TriangleBatch
 
 _IDENTITY = np.eye(4, dtype=np.float64)
 
@@ -108,9 +108,14 @@ def load_mesh(
     transformation: np.ndarray | None = None,
     cull_backface: bool = True,
     smooth: bool = True,
-) -> list[HostTriangle]:
+    as_batch: bool = False,
+) -> list[HostTriangle] | TriangleBatch:
     """Load triangles from a path, file object, or OBJ text
-    (ref API: io::loadMesh, include/PathTrace/scene/mesh.h:23-51)."""
+    (ref API: io::loadMesh, include/PathTrace/scene/mesh.h:23-51).
+
+    `as_batch=True` returns a columnar `TriangleBatch` instead of a list of
+    `HostTriangle`s — the same triangles, without the per-object Python cost
+    (~20s for a million triangles)."""
     if hasattr(source, "read"):
         text = source.read()
     else:
@@ -128,8 +133,6 @@ def load_mesh(
                 text = source
     if isinstance(text, bytes):
         text = text.decode("utf-8", errors="replace")
-    # The reference eats leading spaces before the record tag (mesh.cpp:186).
-    lines = [l.lstrip(" ") for l in text.splitlines()]
 
     parsed = None
     # Large inputs: the native C++ parser (native/ptx_native.cpp) with the
@@ -142,9 +145,12 @@ def load_mesh(
             verts64, faces64 = native
             parsed = (np.asarray(verts64, np.float64), faces64)
     if parsed is None:
+        # The reference eats leading spaces before the record tag
+        # (mesh.cpp:186) — only materialized when Python line parsing runs.
+        lines = [l.lstrip(" ") for l in text.splitlines()]
         parsed = _parse_fast(lines)
-    if parsed is None:
-        parsed = _parse_tolerant(lines)
+        if parsed is None:
+            parsed = _parse_tolerant(lines)
     verts, face_idx = parsed
 
     mat = _IDENTITY if transformation is None else np.asarray(transformation, np.float64)
@@ -156,7 +162,7 @@ def load_mesh(
     if face_idx.shape[0] == 0 or n_v == 0:
         # Faces without any vertices are all out of range
         # (ref: mesh.cpp:149-158 index validation).
-        return []
+        return TriangleBatch.empty() if as_batch else []
 
     # Face validation (ref: mesh.cpp:149-174).
     in_range = np.all((face_idx >= 0) & (face_idx < n_v), axis=1)
@@ -196,6 +202,15 @@ def load_mesh(
     else:
         na = nb = nc = fn_unit
 
+    if as_batch:
+        n = face_idx.shape[0]
+        return TriangleBatch(
+            v0=a, v1=b, v2=c,
+            n0=np.ascontiguousarray(na), n1=np.ascontiguousarray(nb),
+            n2=np.ascontiguousarray(nc),
+            cull=np.full(n, cull_backface, bool),
+            material=np.full(n, -1, np.int32),
+        )
     return [
         HostTriangle(
             a[i], b[i], c[i], cull_backface,

@@ -22,7 +22,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from .geometry import HostTriangle
+from .geometry import HostTriangle, TriangleBatch
 from ..utils.math import PI
 
 # BSDF type codes (ref classes: LambertianBRDF / GlassBDF / MirrorBRDF,
@@ -220,7 +220,7 @@ class SceneBuilder:
     (ref: src/scene/scene.cpp:153-181)."""
 
     def __init__(self):
-        self._triangles: list[HostTriangle] = []
+        self._batches: list[TriangleBatch] = []
         self._spheres: list[HostSphere] = []
         self._materials: list[Material] = [Material()]  # id 0 = default white
         self._point_lights: list[tuple[np.ndarray, np.ndarray]] = []
@@ -233,13 +233,32 @@ class SceneBuilder:
         return len(self._materials) - 1
 
     # -- geometry ------------------------------------------------------------
-    def add_triangles(self, triangles: list[HostTriangle], material: int | None = None):
-        for t in triangles:
+    def add_triangles(
+        self,
+        triangles: list[HostTriangle] | TriangleBatch,
+        material: int | None = None,
+    ):
+        """Append triangles (a `HostTriangle` list or a columnar
+        `TriangleBatch`); `material` overrides their material ids. Unset ids
+        (-1) fall back to the default white material 0."""
+        if isinstance(triangles, TriangleBatch):
+            batch = triangles
+        else:
             if material is not None:
-                t.material = material
-            if t.material < 0:
-                t.material = 0
-            self._triangles.append(t)
+                # Preserve the historical mutation contract for lists.
+                for t in triangles:
+                    t.material = material
+            batch = TriangleBatch.from_triangles(triangles)
+        if material is not None:
+            batch = dataclasses.replace(
+                batch,
+                material=np.full(len(batch), material, np.int32),
+            )
+        else:
+            batch = dataclasses.replace(
+                batch, material=np.maximum(batch.material, 0).astype(np.int32)
+            )
+        self._batches.append(batch)
         return self
 
     def add_sphere(self, center, radius: float, material: int = 0):
@@ -279,7 +298,8 @@ class SceneBuilder:
         from ..accel.cluster import build_cluster_bvh
 
         f32 = np.float32
-        n_tri = len(self._triangles)
+        tri_batch = TriangleBatch.concatenate(self._batches)
+        n_tri = len(tri_batch)
         n_sph = len(self._spheres)
 
         tpad = max(n_tri, 1)
@@ -290,11 +310,14 @@ class SceneBuilder:
         tri_n[:, :, 1] = 1.0  # harmless unit normal on padding lanes
         tri_cull = np.zeros(tpad, bool)
         tri_mat = np.zeros(tpad, np.int32)
-        for i, t in enumerate(self._triangles):
-            tri_v[0, i], tri_v[1, i], tri_v[2, i] = t.a, t.b, t.c
-            tri_n[0, i], tri_n[1, i], tri_n[2, i] = t.na, t.nb, t.nc
-            tri_cull[i] = t.cull_backface
-            tri_mat[i] = t.material
+        tri_v[0, :n_tri] = tri_batch.v0
+        tri_v[1, :n_tri] = tri_batch.v1
+        tri_v[2, :n_tri] = tri_batch.v2
+        tri_n[0, :n_tri] = tri_batch.n0
+        tri_n[1, :n_tri] = tri_batch.n1
+        tri_n[2, :n_tri] = tri_batch.n2
+        tri_cull[:n_tri] = tri_batch.cull
+        tri_mat[:n_tri] = tri_batch.material
 
         sph_c = np.full((spad, 3), 1e30, f32)
         sph_r = np.zeros(spad, f32)
@@ -328,19 +351,17 @@ class SceneBuilder:
 
         # Emissive registry: power = (r+g+b)*a * surface area
         # (ref: src/scene/scene.cpp:183-208 registerEmissiveObjects).
-        em_prims: list[int] = []
-        em_power: list[float] = []
-        for i, t in enumerate(self._triangles):
-            e = np.asarray(self._materials[t.material].emission, np.float64)
-            p = (e[0] + e[1] + e[2]) * e[3]
-            if p > 0:
-                area = t.surface_area()
-                if p * area > 0:
-                    em_prims.append(i)
-                    em_power.append(p * area)
+        mat_em64 = np.array(
+            [np.asarray(m.emission, np.float64) for m in self._materials]
+        )
+        mat_p = (mat_em64[:, 0] + mat_em64[:, 1] + mat_em64[:, 2]) * mat_em64[:, 3]
+        tri_p = mat_p[tri_mat[:n_tri]]
+        tri_power = tri_p * tri_batch.surface_areas()
+        em_tri_idx = np.flatnonzero((tri_p > 0) & (tri_power > 0))
+        em_prims: list[int] = [int(i) for i in em_tri_idx]
+        em_power: list[float] = [float(p) for p in tri_power[em_tri_idx]]
         for i, s in enumerate(self._spheres):
-            e = np.asarray(self._materials[s.material].emission, np.float64)
-            p = (e[0] + e[1] + e[2]) * e[3]
+            p = float(mat_p[s.material])
             if p > 0:
                 area = 4.0 * PI * s.radius * s.radius
                 if p * area > 0:

@@ -187,3 +187,130 @@ def test_cluster_render_matches_dense_render():
         assert (np.asarray(c) == 32).all()
     a, b = means["cluster"], means["dense"]
     assert abs(a - b) / max(a, b) < 0.4, means
+
+
+def test_triangle_batch_build_bit_identical():
+    """The columnar TriangleBatch fast path (load_mesh(as_batch=True) +
+    vectorized SceneBuilder packing/emissive registry) produces a SceneData
+    bit-identical to the historical HostTriangle-list path, across mixed
+    geometry, transforms, emissive triangles/spheres, and the binned accel
+    tables."""
+    import dataclasses
+
+    from cpupathtrace_tpu.models.scenes import standin_dragon_obj
+    from cpupathtrace_tpu.scene.geometry import (
+        make_box,
+        make_plane,
+        transform_triangles,
+    )
+    from cpupathtrace_tpu.scene.mesh import load_mesh
+    from cpupathtrace_tpu.scene.scene import BSDF_GLASS, BSDF_MIRROR
+
+    obj = standin_dragon_obj(2000)
+    tf = np.array(
+        [[0.01, 0, 0, 0], [0, 0.01, 0, -0.5], [0, 0, 0.01, 0], [0, 0, 0, 1.0]]
+    )
+    rot = np.array(
+        [[0.9, 0, 0.1, 0], [0, 2.0, 0, 0], [-0.1, 0, 0.9, 0], [0, 0, 0, 1.0]]
+    )
+
+    def build(as_batch):
+        b = SceneBuilder()
+        white = b.add_material(diffuse=(1, 1, 1, 1))
+        light = b.add_material(diffuse=(1, 1, 1, 1), emission=(1, 2, 3, 1))
+        glass = b.add_material(diffuse=(1, 1, 1, 1), ior=1.5, bsdf=BSDF_GLASS)
+        em2 = b.add_material(diffuse=(1, 1, 1, 1), emission=(0.5, 0.5, 0.5, 1))
+        b.add_triangles(make_box((-1, -1, -1), (1, 1, 1)), white)
+        b.add_triangles(
+            make_plane((-0.25, 0.99, -0.25), (0.25, 0.99, 0.25), True), light
+        )
+        b.add_triangles(
+            load_mesh(obj, tf, cull_backface=False, smooth=True,
+                      as_batch=as_batch),
+            glass,
+        )
+        b.add_triangles(
+            transform_triangles(
+                load_mesh(obj, tf, cull_backface=False, smooth=True,
+                          as_batch=as_batch),
+                rot,
+            ),
+            em2,
+        )
+        mirror = b.add_material(diffuse=(0, 0, 1, 1), bsdf=BSDF_MIRROR)
+        b.add_sphere((0.5, -0.5, 0.5), 0.5, mirror)
+        b.add_sphere((0, 0.5, 0), 0.2, em2)
+        b.add_point_light((0, 0, 0), (1, 1, 1, 1))
+        return b.build(accel="binned", cluster_size=128)
+
+    s_list = build(False)
+    s_batch = build(True)
+    for f in dataclasses.fields(type(s_list)):
+        a = getattr(s_list, f.name)
+        c = getattr(s_batch, f.name)
+        if hasattr(a, "shape"):
+            assert a.shape == c.shape, f.name
+            assert bool((np.asarray(a) == np.asarray(c)).all()), f.name
+        else:
+            assert a == c, f.name
+
+
+def test_cluster_cut_matches_sequential_reference():
+    """The level-swept vectorized cluster cut (accel/cluster.py) emits
+    exactly the clusters of the original sequential walk: same DFS order,
+    same members, same bounds (the supercluster grouping in the megakernel
+    tables relies on the DFS emission order for spatial coherence)."""
+    from cpupathtrace_tpu.accel.build import build_bvh
+    from cpupathtrace_tpu.accel.cluster import build_cluster_bvh
+
+    def reference_cut(prim_lo, prim_hi, cluster_size, use_native):
+        base = build_bvh(prim_lo, prim_hi, use_native=use_native)
+        n_nodes = base.prim.shape[0]
+        size = np.where(base.prim >= 0, 1, 0).astype(np.int64)
+        for i in range(n_nodes - 1, -1, -1):
+            if base.prim[i] < 0:
+                size[i] = size[base.left[i]] + size[base.right[i]]
+
+        def leaves_under(node):
+            out, stack = [], [node]
+            while stack:
+                k = stack.pop()
+                if base.prim[k] >= 0:
+                    out.append(base.prim[k])
+                else:
+                    stack.append(base.right[k])
+                    stack.append(base.left[k])
+            return np.asarray(out, np.int64)
+
+        clusters = []
+        stack = [0]
+        while stack:
+            k = stack.pop()
+            if size[k] <= cluster_size or base.prim[k] >= 0:
+                clusters.append(leaves_under(k))
+            else:
+                stack.append(base.right[k])
+                stack.append(base.left[k])
+        c = len(clusters)
+        members = np.full((c, cluster_size), -1, np.int32)
+        c_lo = np.empty((c, 3), np.float32)
+        c_hi = np.empty((c, 3), np.float32)
+        for i, idx in enumerate(clusters):
+            members[i, : idx.shape[0]] = idx
+            c_lo[i] = prim_lo[idx].min(axis=0)
+            c_hi[i] = prim_hi[idx].max(axis=0)
+        return members, c_lo, c_hi
+
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 7, 64, 701):
+        for cs in (1, 4, 64):
+            ctr = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+            ext = rng.uniform(0.01, 0.5, (n, 3)).astype(np.float32)
+            lo, hi = ctr - ext, ctr + ext
+            for native in (False, True):
+                m_r, lo_r, hi_r = reference_cut(lo, hi, cs, native)
+                cl = build_cluster_bvh(lo, hi, cluster_size=cs,
+                                       use_native=native)
+                assert np.array_equal(cl.members, m_r), (n, cs, native)
+                assert np.array_equal(cl.c_lo, lo_r), (n, cs, native)
+                assert np.array_equal(cl.c_hi, hi_r), (n, cs, native)
