@@ -20,6 +20,12 @@ import jax
 # pinned; switch to CPU post-import (env vars alone are too late).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite compiles hundreds of programs;
+# caching cuts repeat runs ~20% (tracing and interpret-mode Pallas are the
+# rest and are not cacheable).
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
