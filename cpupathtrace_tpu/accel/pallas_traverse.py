@@ -58,6 +58,7 @@ _TILE_TRIS = 64        # triangles per (8, 128) block tile: 8 octets x 8 rows
 _RAY_ROWS = 16         # packed ray-table rows (9 used)
 _M_ROWS = 8            # top-M slots + 1 overflow row => M <= 7
 _MAX_CLUSTERS = 4096   # SMEM bounds-table budget
+MAX_CLUSTERS = _MAX_CLUSTERS  # public: SceneBuilder sizes clusters to fit
 
 
 # ---------------------------------------------------------------------------

@@ -466,6 +466,8 @@ class SceneBuilder:
         n_big = 0
         big_idx = np.zeros(0, np.int64)
         if accel == "binned":
+            from ..accel.pallas_traverse import MAX_CLUSTERS
+
             small_idx = np.flatnonzero(~big_mask)
             big_idx = np.flatnonzero(big_mask)
             n_big = int(big_idx.shape[0])
@@ -479,6 +481,11 @@ class SceneBuilder:
                 cluster_size = int(
                     min(512, max(128, 1 << int(np.ceil(np.log2(target)))))
                 )
+                # Giant meshes (beyond ~2M small triangles at 512/cluster):
+                # grow clusters so the cut fits the SMEM bounds budget (the
+                # BVH cut underfills, so aim well below the hard cap).
+                floor = -(-int(small_idx.shape[0]) // (MAX_CLUSTERS // 2))
+                cluster_size = max(cluster_size, floor)
             cluster_size = max(64, (cluster_size + 63) // 64 * 64)
         elif accel in ("cluster", "sweep"):
             small_idx = np.arange(n_tri)
@@ -488,6 +495,15 @@ class SceneBuilder:
             cl = build_cluster_bvh(
                 lo_tri[small_idx], hi_tri[small_idx], cluster_size=cluster_size
             )
+            while accel == "binned" and cl.members.shape[0] > MAX_CLUSTERS:
+                # The cut emits more clusters than the candidate kernel's
+                # SMEM bounds table holds (possible for adversarial BVH
+                # shapes even with the sizing above): coarsen and retry.
+                cluster_size *= 2
+                cl = build_cluster_bvh(
+                    lo_tri[small_idx], hi_tri[small_idx],
+                    cluster_size=cluster_size,
+                )
             c = cl.members.shape[0]
             # Remap cluster members (small-set local) to global tri indices.
             members = np.where(
@@ -548,7 +564,12 @@ class SceneBuilder:
         # supercluster/cluster-bounds/record tiers (accel/kernel_traverse.py).
         krn_cluster_size = 0
         krn_big_pair = np.zeros((1, 1), f32)
-        if accel == "binned" and n_small < 2 ** 24:
+        # The pair-record table costs ~512 B per small triangle; beyond the
+        # budget (default ~2.1M triangles = ~1.1 GB of records) skip the
+        # in-kernel tables — the scene still renders through the binned
+        # wavefront (accel/pallas_traverse.py), just not the megakernel.
+        krn_max = int(os.environ.get("PTX_KRN_MAX_TRIS", str(2 ** 21)))
+        if accel == "binned" and n_small < min(krn_max, 2 ** 24):
             from ..accel.kernel_traverse import (
                 pack_kernel_tables_np,
                 pack_pair_record_np,

@@ -163,3 +163,30 @@ def test_wavefront_render_binned_matches_sweep():
         imgs.append((np.asarray(s), np.asarray(c)))
     np.testing.assert_array_equal(imgs[0][1], imgs[1][1])
     np.testing.assert_allclose(imgs[0][0], imgs[1][0], rtol=1e-6, atol=1e-6)
+
+
+def test_giant_scene_auto_coarsens(monkeypatch):
+    """Beyond the SMEM cluster budget the builder grows cluster_size until
+    the cut fits, and beyond the pair-record budget it skips the in-kernel
+    megakernel tables — the scene still intersects exactly through the
+    binned wavefront (the 7.2M-triangle real-dragon regime, scaled down by
+    shrinking the budgets)."""
+    from cpupathtrace_tpu.accel import pallas_traverse
+    from cpupathtrace_tpu.integrator.pallas_megakernel import (
+        megakernel_supported,
+    )
+
+    monkeypatch.setattr(pallas_traverse, "MAX_CLUSTERS", 16)
+    monkeypatch.setenv("PTX_KRN_MAX_TRIS", "1000")
+    scene = bench_dragon_scene(dragon_tris=5000, accel="binned")
+    assert scene.accel == "binned"
+    assert scene.trv_bounds.shape[0] <= 16
+    assert scene.cluster_size >= 5000 // 16
+    assert scene.krn_cluster_size == 0  # records skipped -> no megakernel
+    assert not megakernel_supported(scene)
+
+    ref = bench_dragon_scene(dragon_tris=5000, accel="sweep")
+    o, d = _rays(512, 11, inside=True)
+    t_b, p_b = scene_intersect(scene, o, d)
+    t_r, p_r = scene_intersect(ref, o, d)
+    assert _agree(t_b, p_b, t_r, p_r)
