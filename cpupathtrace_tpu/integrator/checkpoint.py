@@ -22,7 +22,7 @@ from ..core.config import RenderOptions
 from ..integrator.film import pixel_camera_coords, render_chunk
 from ..scene.scene import SceneData
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def render_fingerprint(scene, camera) -> str:
@@ -44,6 +44,7 @@ class FilmState:
     pixel_sum: np.ndarray  # [P, 4] float64 accumulation
     sample_count: np.ndarray  # [P] int64
     chunks_done: int
+    spp: int
     spp_chunk: int
     seed: int
     width: int
@@ -67,6 +68,7 @@ def save_checkpoint(path: str, state: FilmState) -> None:
             {
                 "version": _FORMAT_VERSION,
                 "chunks_done": state.chunks_done,
+                "spp": state.spp,
                 "spp_chunk": state.spp_chunk,
                 "seed": state.seed,
                 "width": state.width,
@@ -89,6 +91,7 @@ def load_checkpoint(path: str) -> FilmState:
             pixel_sum=z["pixel_sum"],
             sample_count=z["sample_count"],
             chunks_done=meta["chunks_done"],
+            spp=meta["spp"],
             spp_chunk=meta["spp_chunk"],
             seed=meta["seed"],
             width=meta["width"],
@@ -119,13 +122,19 @@ def render_resumable(
     # remainder). The smaller final chunk costs one extra jit specialization.
     spp_chunk = min(spp_chunk, spp)
     n_chunks = -(-spp // spp_chunk)
-    fingerprint = render_fingerprint(scene, camera)
+    # The fingerprint forces a full device->host transfer + hash of every
+    # scene array (gigabytes for binned dragon-scale scenes) — only pay for
+    # it when checkpointing is actually requested.
+    fingerprint = (
+        render_fingerprint(scene, camera) if checkpoint_path else ""
+    )
 
     state = None
     if checkpoint_path and os.path.exists(checkpoint_path):
         state = load_checkpoint(checkpoint_path)
         if (
             state.width != w or state.height != h
+            or state.spp != spp
             or state.spp_chunk != spp_chunk or state.seed != seed
         ):
             raise ValueError("checkpoint is for a different render config")
@@ -139,6 +148,7 @@ def render_resumable(
             pixel_sum=np.zeros((w * h, 4), np.float64),
             sample_count=np.zeros(w * h, np.int64),
             chunks_done=0,
+            spp=spp,
             spp_chunk=spp_chunk,
             seed=seed,
             width=w,

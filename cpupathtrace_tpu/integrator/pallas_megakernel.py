@@ -1058,6 +1058,16 @@ def trace_megakernel(
     if tables is None:
         tables = _pack_tables(scene)
     if scene.has_kernel_records:
+        if scene.big_v0.shape[0] > scene.krn_big_pair.shape[0]:
+            # The big partition outgrew the single pair record (> REC_LANES
+            # triangles): megakernel_supported is False and the (1,1)
+            # placeholder record would be read out of bounds. Fail loudly
+            # for direct callers that bypass the dispatch predicate.
+            raise ValueError(
+                f"megakernel unsupported: {scene.big_v0.shape[0]} dense "
+                f"triangles exceed the pair record "
+                f"({scene.krn_big_pair.shape[0]} rows)"
+            )
         n_super = int(scene.krn_cl_bounds.shape[0])
         n_tri_tbl = int(scene.big_v0.shape[0])
         # Smaller blocks sharpen the per-block cluster culling (a block

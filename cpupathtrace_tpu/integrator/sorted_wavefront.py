@@ -215,6 +215,12 @@ def trace_megakernel_sorted(
     if tables is None:
         tables = _pack_tables(scene)
     if scene.has_kernel_records:
+        if scene.big_v0.shape[0] > scene.krn_big_pair.shape[0]:
+            raise ValueError(
+                f"megakernel unsupported: {scene.big_v0.shape[0]} dense "
+                f"triangles exceed the pair record "
+                f"({scene.krn_big_pair.shape[0]} rows)"
+            )
         n_super = int(scene.krn_cl_bounds.shape[0])
         n_tri_tbl = int(scene.big_v0.shape[0])
         block_rows = int(

@@ -128,8 +128,18 @@ def load_mesh(
                     text = fh.read()
             except OSError:
                 # Not a readable path: treat as (garbage) OBJ text — the
-                # tolerant parser contract never raises (ref: mesh.cpp
-                # ignores unknown records; io::loadMesh takes a stream).
+                # tolerant parser contract never raises, matching the
+                # reference, whose path overload reads a failed ifstream as
+                # empty (ref: mesh.cpp:286; unknown records are ignored).
+                # Warn so a typo'd mesh path doesn't silently render an
+                # empty scene.
+                import warnings
+
+                warnings.warn(
+                    f"load_mesh: {source!r} is not a readable path; "
+                    "parsing it as OBJ text",
+                    stacklevel=2,
+                )
                 text = source
     if isinstance(text, bytes):
         text = text.decode("utf-8", errors="replace")

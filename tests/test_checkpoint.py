@@ -61,3 +61,18 @@ def test_mismatched_config_rejected(tmp_path):
     render_resumable(scene, cam, opts, spp=8, spp_chunk=4, checkpoint_path=ckpt)
     with pytest.raises(ValueError):
         render_resumable(scene, cam, opts, spp=8, spp_chunk=2, checkpoint_path=ckpt)
+
+
+def test_mismatched_spp_rejected(tmp_path):
+    """Resuming a finished spp=8 checkpoint with spp=16 must be rejected:
+    the ceil-division chunk schedule depends on spp, so a silent resume
+    would render the wrong number of samples."""
+    import pytest
+
+    scene, cam, opts = _setup()
+    ckpt = str(tmp_path / "film.npz")
+    render_resumable(scene, cam, opts, spp=8, spp_chunk=4, checkpoint_path=ckpt)
+    with pytest.raises(ValueError):
+        render_resumable(
+            scene, cam, opts, spp=16, spp_chunk=4, checkpoint_path=ckpt
+        )
