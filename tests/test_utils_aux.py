@@ -78,9 +78,9 @@ def test_checkpoint_cli_roundtrip(tmp_path):
 
     st = FilmState(
         pixel_sum=np.zeros((4, 4)), sample_count=np.zeros(4, np.int64),
-        chunks_done=1, spp_chunk=2, seed=3, width=2, height=2,
+        chunks_done=1, spp=4, spp_chunk=2, seed=3, width=2, height=2,
     )
     p = str(tmp_path / "ck.npz")
     save_checkpoint(p, st)
     back = load_checkpoint(p)
-    assert back.chunks_done == 1 and back.seed == 3
+    assert back.chunks_done == 1 and back.seed == 3 and back.spp == 4
