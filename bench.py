@@ -207,41 +207,54 @@ def main():
 
     verify_ok = None
     if args.verify:
-        verify_ok = run_verify()
+        try:
+            verify_ok = run_verify()
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            log(f"# verify CRASHED: {type(e).__name__}: {e}")
+            verify_ok = False
         log(f"# verify: {'PASS' if verify_ok else 'FAIL'}")
 
     results = []
     camera = bench_camera()
     workloads = args.workloads.split(",")
 
+    # Workloads are independent: a device fault in one (the tunnel has
+    # died mid-run before) must not cost the other's metric line.
     if "dragon" in workloads:
-        t0 = time.time()
-        scene = bench_dragon_scene(dragon_tris=DRAGON_TRIS, accel="binned")
-        log(f"# dragon scene built in {time.time()-t0:.1f}s "
-            f"({scene.n_tri} tris, C={scene.trv_bounds.shape[0]}, "
-            f"L={scene.cluster_size})")
-        options = RenderOptions(
-            DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
-            epsilon=1e-3, max_depth=40,
-        )
-        res, _ = run_workload(
-            "renderSceneDragonBox", scene, camera, options,
-            DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
-            REFERENCE_CPU_DRAGON_MRAYS,
-        )
-        results.append(res)
+        try:
+            t0 = time.time()
+            scene = bench_dragon_scene(dragon_tris=DRAGON_TRIS, accel="binned")
+            log(f"# dragon scene built in {time.time()-t0:.1f}s "
+                f"({scene.n_tri} tris, C={scene.trv_bounds.shape[0]}, "
+                f"L={scene.cluster_size})")
+            options = RenderOptions(
+                DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
+                epsilon=1e-3, max_depth=40,
+            )
+            res, _ = run_workload(
+                "renderSceneDragonBox", scene, camera, options,
+                DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
+                REFERENCE_CPU_DRAGON_MRAYS,
+            )
+            results.append(res)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            log(f"# renderSceneDragonBox FAILED: {type(e).__name__}: {e}")
 
     if "box" in workloads:
-        scene = bench_box_scene()
-        options = RenderOptions(
-            BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP, epsilon=1e-3, max_depth=40
-        )
-        res, _ = run_workload(
-            "renderSceneBox", scene, camera, options,
-            BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP_CHUNK,
-            REFERENCE_CPU_BOX_MRAYS,
-        )
-        results.append(res)
+        try:
+            scene = bench_box_scene()
+            options = RenderOptions(
+                BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP, epsilon=1e-3,
+                max_depth=40,
+            )
+            res, _ = run_workload(
+                "renderSceneBox", scene, camera, options,
+                BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP_CHUNK,
+                REFERENCE_CPU_BOX_MRAYS,
+            )
+            results.append(res)
+        except Exception as e:  # noqa: BLE001
+            log(f"# renderSceneBox FAILED: {type(e).__name__}: {e}")
 
     for res in results:
         if verify_ok is not None:
