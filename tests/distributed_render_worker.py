@@ -57,6 +57,27 @@ def main():
 
     full = distributed.gather_image(local, h)
     assert full.shape == (h, w, 4), full.shape
+
+    # Global-mesh SPMD collective across the two processes (the pod
+    # programming model): a (dp, sp) mesh over all 8 global devices, a
+    # process-local-data global array, and a psum over both axes.
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = distributed.global_render_mesh()
+    assert mesh.devices.size == n * 4, mesh
+    sharding = NamedSharding(mesh, P(("dp", "sp")))
+    local_vals = np.arange(4, dtype=np.float32) + 4.0 * pid
+    garr = jax.make_array_from_process_local_data(sharding, local_vals, (8,))
+    total = jax.jit(
+        shard_map(
+            lambda x: jax.lax.psum(jnp.sum(x), ("dp", "sp")),
+            mesh=mesh, in_specs=P(("dp", "sp")), out_specs=P(),
+        )
+    )(garr)
+    # Every process must see sum(0..7) = 28 from the cross-process psum.
+    assert float(np.asarray(total)) == 28.0, total
+
     if pid == 0:
         np.save(out_path, full)
 
