@@ -40,9 +40,14 @@ def _parse_float(tok: str) -> float:
         else:
             break
     try:
-        return float("".join(buf))
+        v = float("".join(buf))
     except ValueError:
         return float("nan")
+    # std::stof throws out_of_range on huge literals (e.g. 1e999), which the
+    # reference's tolerant parse turns into NaN (ref: mesh.cpp:96-121).
+    if v in (float("inf"), float("-inf")):
+        return float("nan")
+    return v
 
 
 def _parse_int(tok: str) -> int:
@@ -54,9 +59,15 @@ def _parse_int(tok: str) -> int:
         else:
             break
     try:
-        return int("".join(buf))
+        v = int("".join(buf))
     except ValueError:
         return -1
+    # std::stoi throws out_of_range beyond int range, which the reference's
+    # tolerant parse turns into -1; Python ints are unbounded and would
+    # overflow the int64 face array instead (found by fuzzing).
+    if not -(2 ** 31) <= v < 2 ** 31:
+        return -1
+    return v
 
 
 def _parse_tolerant(lines):
@@ -162,6 +173,10 @@ def load_mesh(
         if parsed is None:
             parsed = _parse_tolerant(lines)
     verts, face_idx = parsed
+    # Normalize across parsers: out-of-range float literals are NaN (the
+    # reference's stof out_of_range contract); the vectorized/native paths
+    # would otherwise yield inf, which face validation cannot reject.
+    verts = np.where(np.isfinite(verts), verts, np.nan)
 
     mat = _IDENTITY if transformation is None else np.asarray(transformation, np.float64)
     if verts.shape[0]:

@@ -116,3 +116,21 @@ class TestProceduralGeometry:
 
     def test_make_box_rejects_flat(self):
         assert make_box((0, 0, 0), (1, 1, 0)) == []
+
+
+def test_out_of_range_numbers_rejected_tolerantly():
+    """Huge int face indices overflow int64 (found by fuzzing) and huge
+    float literals yield inf instead of the reference's stoi/stof
+    out_of_range contract (-1 / NaN, rejecting the row); both must be
+    tolerated, not crash, in all parser paths."""
+    # Face index beyond int64: the row must be rejected, not raise.
+    src = "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 99999999999999999999999999 2 3\n"
+    assert load_mesh(src) == []
+    # Huge float literal: vertex becomes NaN -> its faces rejected.
+    src2 = "v 1e99999 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+    assert load_mesh(src2) == []
+    # Same through the vectorized fast path (well-formed layout).
+    src3 = ("v 1e400 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+            "f 1 2 3\nf 2 3 4\n")
+    tris = load_mesh(src3)
+    assert len(tris) == 1  # only the all-finite face survives
