@@ -18,6 +18,12 @@ def read_rgb_image(path) -> np.ndarray:
     from PIL import Image as PILImage
 
     img = PILImage.open(path)
+    if img.mode in ("I", "I;16", "I;16B", "I;16L"):
+        # 16-bit channels: strip to the high byte like the reference's
+        # PNG_TRANSFORM_STRIP_16 (ref: image_io.cpp:58); Pillow's direct
+        # RGBA convert would clip instead.
+        arr16 = np.asarray(img, dtype=np.uint32)
+        img = PILImage.fromarray((arr16 >> 8).astype(np.uint8), mode="L")
     if img.mode not in ("RGB", "RGBA"):
         img = img.convert("RGBA")
     arr = np.asarray(img, dtype=np.float32) / 255.0

@@ -38,3 +38,19 @@ def test_clamping(tmp_path):
     np.testing.assert_allclose(back[0, 0, 0], 1.0)
     np.testing.assert_allclose(back[0, 0, 1], 0.0)
     np.testing.assert_allclose(back[0, 0, 2], 0.5, atol=0.004)
+
+
+def test_16bit_png_strips_high_byte(tmp_path):
+    """16-bit PNGs strip to the high byte like the reference's
+    PNG_TRANSFORM_STRIP_16 (image_io.cpp:58) — a direct RGBA convert
+    would clip bright values to 1.0 instead."""
+    from PIL import Image as PILImage
+
+    arr16 = (np.arange(16, dtype=np.uint16).reshape(4, 4) * 4096)
+    p = str(tmp_path / "g16.png")
+    PILImage.fromarray(arr16).save(p)
+    out = read_rgb_image(p)
+    assert out.shape == (4, 4, 4)
+    expect = (arr16 >> 8).astype(np.float32) / 255.0
+    np.testing.assert_allclose(out[..., 0], expect, atol=1e-6)
+    np.testing.assert_array_equal(out[..., 3], np.ones((4, 4), np.float32))
