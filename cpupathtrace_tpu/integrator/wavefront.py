@@ -112,7 +112,15 @@ def trace(
 
         divisor = s["divisor"]
         bounce_pd = s["bounce_pd"]
-        weight = 1.0 / (divisor * bounce_pd)
+        # Dead lanes can carry divisor/bounce_pd values at or below the
+        # cutoff (including exact 0 after underflow); their contributions
+        # are masked out below, but an unguarded 1/0 here would poison the
+        # BACKWARD pass (where's branch cotangent is 0 * inf = NaN — hit
+        # in practice by rare grazing-cosine samples during inverse
+        # rendering). Alive lanes always sit above the cutoffs, so the
+        # guard never changes a used value.
+        den = divisor * bounce_pd
+        weight = jnp.where(hit, 1.0 / jnp.where(hit, den, 1.0), 0.0)
 
         # --- Emission at this vertex (ref: worker.cpp:62-64).
         out = s["out"] + jnp.where(
@@ -172,13 +180,17 @@ def trace(
             denom = (
                 divisor[:, None] * bounce_pd[:, None] * lpd * jnp.where(spd > 0, spd, 1.0)
             )
+            use = hit[:, None] & lights.valid & visible & (spd > 0.0)
+            # Guard the masked lanes' denominator (dead lanes can carry an
+            # underflowed divisor == 0): forward values on used lanes are
+            # untouched, but x/0 on a masked lane would turn the where
+            # backward into 0 * inf = NaN (see `weight` above).
             contrib = (
                 base_spec
                 * shading[..., None]
                 * s["sample_spectrum"][:, None, :]
-                / denom[..., None]
+                / jnp.where(use, denom, 1.0)[..., None]
             )
-            use = hit[:, None] & lights.valid & visible & (spd > 0.0)
             out = out + jnp.sum(jnp.where(use[..., None], contrib, 0.0), axis=1)
 
         # --- Roulette stop bookkeeping (ref: worker.cpp:106-110).
