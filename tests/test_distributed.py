@@ -31,6 +31,13 @@ def test_two_process_render_gather(tmp_path):
     out = str(tmp_path / "img.npy")
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # The workers must import cpupathtrace_tpu without relying on an
+    # editable install; PREPEND the repo root (never replace PYTHONPATH —
+    # the TPU plugin may be distributed via it).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), out],
