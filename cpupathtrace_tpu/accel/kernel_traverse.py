@@ -63,6 +63,7 @@ materials/emitters only).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -534,6 +535,19 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
 # first and the per-descend bound recheck prunes far groups. Linear split
 # of the [min, max] entry range — cheap and good enough for pruning.
 _N_BUCKETS = 4
+
+# Cluster-bounds pages ([S, 32, 128] f32 = S * 16 KB) are kept whole in
+# VMEM below this budget (dragon bench: S = 97 -> 1.55 MB), eliminating a
+# synchronous 16 KB DMA stall per supercluster descend (~115k/frame on the
+# dragon). Giant meshes (7.2M tris: S ~ 3.5k -> 56 MB) keep the DMA path.
+_CLB_VMEM_BYTES = int(
+    float(os.environ.get("PTX_KRN_CLB_VMEM_MB", "4")) * (1 << 20)
+)
+
+
+def clb_fits_vmem(clb) -> bool:
+    """Residency policy for the cluster-bounds table (see _CLB_VMEM_BYTES)."""
+    return int(np.prod(clb.shape)) * 4 <= _CLB_VMEM_BYTES
 # SMEM scratch slots for packed masks: _N_BUCKETS * ceil(512/23) sup masks
 # + ceil(GROUP/23) cluster masks, rounded up.
 MASK_SLOTS = 96
@@ -543,7 +557,7 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
                     scr_es, scr_ec, scr_m, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
                     bound_fn, process_fn, carry0, n_super, run_gate,
-                    visit_ref, visit_base):
+                    visit_ref, visit_base, clb_resident=False):
     """Three-tier cluster scan: vectorized enter flags, SCALAR bitmask
     stepping, and DOUBLE-BUFFERED record DMA.
 
@@ -590,8 +604,14 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
     n_hyp_masks = -(-hp8 // _MASK_BITS)
     n_cl_masks = -(-GROUP // _MASK_BITS)
     n_buckets = _N_BUCKETS if hp > 2 else 1
+    # Front-to-back buckets WITHIN a descended hyper page too: a page
+    # spans GROUP2 * GROUP clusters (~8k tris at 16-tri records), and
+    # walking its superclusters in index order discovers near hits late.
+    # 4 entry-ordered buckets cost 3 extra mask packs per page descend
+    # and let an early hit prune the rest of the page.
+    n_sb = _N_BUCKETS if n_super > 2 * GROUP2 else 1
     sup_slot = n_buckets * n_hyp_masks
-    cl_off = sup_slot + 1
+    cl_off = sup_slot + n_sb
     assert GROUP2 <= _MASK_BITS  # one supercluster mask per page
     assert cl_off + n_cl_masks <= MASK_SLOTS
 
@@ -659,11 +679,17 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
         def descend(s, st):
             if visit_ref is not None:
                 visit_ref[visit_base] = visit_ref[visit_base] + 1
-            cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_c, sem_c)
-            cpb.start()
-            cpb.wait()
+            if clb_resident:
+                # Cluster-bounds pages live in VMEM whole (small scenes:
+                # S * 16 KB) — no per-descend DMA stall.
+                page = clb_hbm[s]
+            else:
+                cpb = pltpu.make_async_copy(clb_hbm.at[s], scr_c, sem_c)
+                cpb.start()
+                cpb.wait()
+                page = scr_c
             scr_ec[:, :rows] = pair_slab_entries(
-                scr_c, rows, ox, oy, oz, ix, iy, iz
+                page, rows, ox, oy, oz, ix, iy, iz
             )  # [GROUP, rows, 128]
             bound = bound_fn(st[0])
             ent_c = jnp.where(scr_ec[:, :rows] < bound[None], 1.0, 0.0)
@@ -702,11 +728,31 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
                 sup_pg[h], rows, ox, oy, oz, ix, iy, iz
             )  # [GROUP2, rows, 128]
             bound = bound_fn(st[0])
-            ent_s = jnp.where(scr_es[:, :rows] < bound[None], 1.0, 0.0)
+            ent_sb = scr_es[:, :rows] < bound[None]
+            ent_s = jnp.where(ent_sb, 1.0, 0.0)
             flag_s = jnp.max(jnp.max(ent_s, axis=1), axis=1, keepdims=True)
-            scr_m[sup_slot] = _pack_masks(
-                flag_s, sup_w, sup_iota, GROUP2, 1
-            )[0]
+            if n_sb > 1:
+                emin_s = jnp.min(
+                    jnp.min(jnp.where(ent_sb, scr_es[:, :rows], _INF),
+                            axis=1),
+                    axis=1, keepdims=True,
+                )  # [GROUP2, 1]
+                on_s = flag_s > 0.5
+                s0 = jnp.min(jnp.where(on_s, emin_s, _INF))
+                s1 = jnp.max(jnp.where(on_s, emin_s, -_INF))
+                span_s = jnp.maximum(s1 - s0, 1e-20)
+                bidx_s = jnp.floor(jnp.clip(
+                    (emin_s - s0) / span_s * n_sb, 0.0, n_sb - 1.0
+                ))
+                for b in range(n_sb):
+                    fb = jnp.where(bidx_s == b, flag_s, 0.0)
+                    scr_m[sup_slot + b] = _pack_masks(
+                        fb, sup_w, sup_iota, GROUP2, 1
+                    )[0]
+            else:
+                scr_m[sup_slot] = _pack_masks(
+                    flag_s, sup_w, sup_iota, GROUP2, 1
+                )[0]
 
             def sup_bit(c):
                 m, st = c
@@ -724,10 +770,13 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
                 )
                 return (m & (m - 1), st)
 
-            _, st = jax.lax.while_loop(
-                lambda c: c[0] != 0, sup_bit, (scr_m[sup_slot], st)
-            )
-            return st
+            def sup_bucket(b, st):
+                _, st = jax.lax.while_loop(
+                    lambda c: c[0] != 0, sup_bit, (scr_m[sup_slot + b], st)
+                )
+                return st
+
+            return jax.lax.fori_loop(0, n_sb, sup_bucket, st)
 
         st = (carry0, jnp.zeros(shp, jnp.float32), jnp.int32(0),
               jnp.int32(0))
@@ -778,6 +827,7 @@ def traverse_clusters(
     root=None,
     visit_ref=None,
     rec_conds=True,
+    clb_resident=False,
 ):
     """Nearest-hit over the cluster set, inlined into a Pallas kernel.
 
@@ -823,6 +873,7 @@ def traverse_clusters(
         scr_ec, scr_m, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, carry0, n_super, run_gate, visit_ref, 0,
+        clb_resident=clb_resident,
     )
 
 
@@ -836,6 +887,7 @@ def traverse_clusters_anyhit(
     root=None,
     visit_ref=None,
     rec_conds=True,
+    clb_resident=False,
 ):
     """Any-hit (shadow) traversal: returns the updated occluded mask
     (as bool, from an f32 `occluded_f` input — see `active` in
@@ -865,6 +917,7 @@ def traverse_clusters_anyhit(
         scr_ec, scr_m, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, occluded_f, n_super, run_gate, visit_ref, 2,
+        clb_resident=clb_resident,
     )
     return occ_f > 0.5
 
@@ -877,7 +930,7 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
                    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                    lim_r, t_out, p_out, scr_c, scr2, scr_eh, scr_es,
                    scr_ec, scr_m, sem_c, sem2,
-                   *, n_super, any_hit):
+                   *, n_super, any_hit, clb_resident=False):
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
     lim = lim_r[:]
@@ -888,7 +941,7 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
             scr_es, scr_ec, scr_m, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             lim, jnp.zeros(shp, jnp.float32),
-            n_super=n_super,
+            n_super=n_super, clb_resident=clb_resident,
         )
         t_out[:] = jnp.where(occ, 1.0, jnp.inf)
         p_out[:] = jnp.where(occ, 0, -1)
@@ -903,23 +956,30 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
             ox, oy, oz, dx, dy, dz,
             best_t, best_p, dummy, dummy, dummy, dmid,
             n_super=n_super,
-            want_normal_mat=False,
+            want_normal_mat=False, clb_resident=clb_resident,
         )
         t_out[:] = best_t
         p_out[:] = best_p
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_super", "any_hit", "interpret")
+    jax.jit,
+    static_argnames=("n_super", "any_hit", "interpret", "clb_resident"),
 )
 def _single_call(sup, hyp, clb, records, comps, lim, n_super,
-                 any_hit, interpret=False):
+                 any_hit, interpret=False, clb_resident=False):
     rows = comps[0].shape[0]
     grid = (rows // 8,)
     ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _single_kernel, n_super=n_super, any_hit=any_hit,
+        clb_resident=clb_resident,
+    )
+    clb_spec = (
+        pl.BlockSpec(clb.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if clb_resident else pl.BlockSpec(memory_space=pl.ANY)
     )
     return pl.pallas_call(
         kernel,
@@ -929,7 +989,7 @@ def _single_call(sup, hyp, clb, records, comps, lim, n_super,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(hyp.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            clb_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ] + [ray_spec] * 7,
         out_specs=[ray_spec, ray_spec],
@@ -984,6 +1044,7 @@ def cluster_intersect_kernel(scene, o, d, t_max=None, any_hit=False,
         scene.krn_records, comps, lim2,
         n_super=int(scene.krn_cl_bounds.shape[0]),
         any_hit=any_hit, interpret=interpret,
+        clb_resident=clb_fits_vmem(scene.krn_cl_bounds),
     )
     t = t.reshape(-1)[:r]
     p = p.reshape(-1)[:r]

@@ -44,6 +44,7 @@ from ..accel.kernel_traverse import (
     PAIR_COLS,
     REC_LANES,
     _moment,
+    clb_fits_vmem,
     pair_test_anyhit,
     pair_test_nearest,
     traverse_clusters,
@@ -276,7 +277,8 @@ N_STATE = len(STATE_FIELDS)
 
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                      epsilon, n_super=0, debug_visits=False,
-                     single_bounce=False, dense_pair=False):
+                     single_bounce=False, dense_pair=False,
+                     clb_vmem=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes four extra inputs (supercluster VMEM bounds, cluster
     bounds pages, cluster records, big-partition pair record) and four
@@ -373,6 +375,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     n_super=n_super,
                     want_normal_mat=True, active=alive_f,
                     visit_ref=vis_ref, rec_conds=_REC_CONDS,
+                    clb_resident=clb_vmem,
                 )
             hit = alive & (bp >= 0)
             collected = collected | hit
@@ -475,6 +478,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
                         visit_ref=vis_ref, rec_conds=_REC_CONDS,
+                    clb_resident=clb_vmem,
                     )
                     visible = visible & ~occ
                 return nee_finish(ldx, ldy, ldz, visible, ls_r, ls_g, ls_b,
@@ -620,6 +624,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                                       jnp.float32),
                     n_super=n_super,
                     visit_ref=vis_ref, rec_conds=_REC_CONDS,
+                    clb_resident=clb_vmem,
                 )
                 r0 = shp[0]
                 for k, (d, s) in enumerate(zip(em_draws, sh)):
@@ -967,9 +972,11 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
     )
     debug_visits = bool(debug_visits and n_super)
+    clb_vmem = bool(n_super) and clb_fits_vmem(clb)
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
         n_super=n_super, debug_visits=debug_visits, dense_pair=dense_pair,
+        clb_vmem=clb_vmem,
     )
     table_specs = [
         smem((1,)),
@@ -987,14 +994,16 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         table_args += [bigp]
     if n_super:
         # Cluster tiers: supercluster bounds + the big-partition pair
-        # record resident in VMEM; cluster bounds pages + triangle
-        # records stay in HBM and are DMA'd into VMEM scratch on descent
-        # (kernel_traverse.py).
+        # record resident in VMEM; triangle records stay in HBM and are
+        # DMA'd into VMEM scratch on descent (kernel_traverse.py).
+        # Cluster-bounds pages are VMEM-resident too when small enough
+        # (clb_fits_vmem) — per-descend DMA stalls measured ~10% of
+        # dragon frames.
         vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
         table_specs += [
             vmem_full,
             vmem_full,
-            pl.BlockSpec(memory_space=pl.ANY),
+            vmem_full if clb_vmem else pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             vmem_full,
         ]

@@ -43,6 +43,7 @@ from ..accel.kernel_traverse import (
     MASK_SLOTS,
     PAIR_COLS,
     REC_LANES,
+    clb_fits_vmem,
 )
 from ..core.config import RenderOptions
 from ..scene.scene import SceneData
@@ -147,10 +148,11 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
     )
+    clb_vmem = bool(n_super) and clb_fits_vmem(clb)
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth=0,
         epsilon=epsilon, n_super=n_super, single_bounce=True,
-        dense_pair=dense_pair,
+        dense_pair=dense_pair, clb_vmem=clb_vmem,
     )
     table_specs = [
         smem((2,)),
@@ -167,7 +169,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
         table_specs += [
             vmem_full,
             vmem_full,
-            pl.BlockSpec(memory_space=pl.ANY),
+            vmem_full if clb_vmem else pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             vmem_full,
         ]
