@@ -536,6 +536,11 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
 # of the [min, max] entry range — cheap and good enough for pruning.
 _N_BUCKETS = 4
 
+# Record-DMA ring depth: Q-1 fetches in flight while the oldest pending
+# record is pair-tested (~2 us each), hiding HBM latency across descend
+# boundaries where a 2-slot pipeline stalls on every first record.
+REC_QUEUE = max(2, int(os.environ.get("PTX_REC_QUEUE", "4")))
+
 # Cluster-bounds pages ([S, 32, 128] f32 = S * 16 KB) are kept whole in
 # VMEM below this budget (dragon bench: S = 97 -> 1.55 MB), eliminating a
 # synchronous 16 KB DMA stall per supercluster descend (~115k/frame on the
@@ -554,7 +559,7 @@ MASK_SLOTS = 96
 
 
 def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
-                    scr_es, scr_ec, scr_m, sem_c, sem2,
+                    scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
                     bound_fn, process_fn, carry0, n_super, run_gate,
                     visit_ref, visit_base, clb_resident=False):
@@ -615,22 +620,39 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
     assert GROUP2 <= _MASK_BITS  # one supercluster mask per page
     assert cl_off + n_cl_masks <= MASK_SLOTS
 
+    q = scr2.shape[0]  # record-DMA queue depth
+
     def sched(idx, enter_f, st):
-        carry, entp, have, par = st
+        """Ring-buffered record pipeline: start the fetch for this record
+        into slot `head`, then (only once Q-1 fetches are in flight) drain
+        and pair-test the OLDEST pending record. Record k's DMA thus has
+        Q-2 full record tests (~2-5 us) to land before its wait — enough
+        to hide HBM latency across descend boundaries, where the 2-slot
+        pipeline stalled on every first record of a cluster page. Enter
+        flags for pending records are staged per-slot in `scr_ef` (they
+        are captured at schedule time; staleness under later bound
+        tightening is conservative — rows only do harmless extra work)."""
+        carry, count, head = st
         if visit_ref is not None:
             visit_ref[visit_base + 1] = visit_ref[visit_base + 1] + 1
         pltpu.make_async_copy(
-            rec_hbm.at[idx], scr2.at[par], sem2.at[par]
+            rec_hbm.at[idx], scr2.at[head], sem2.at[head]
         ).start()
+        scr_ef[head, :rows] = enter_f
 
         def drain(carry):
+            tail = jax.lax.rem(head + jnp.int32(1), jnp.int32(q))
             pltpu.make_async_copy(
-                rec_hbm.at[idx], scr2.at[1 - par], sem2.at[1 - par]
+                rec_hbm.at[0], scr2.at[tail], sem2.at[tail]
             ).wait()
-            return process_fn(1 - par, entp, carry)
+            return process_fn(tail, scr_ef[tail, :rows], carry)
 
-        carry = jax.lax.cond(have > 0, drain, lambda c: c, carry)
-        return (carry, enter_f, jnp.int32(1), 1 - par)
+        carry = jax.lax.cond(count >= q - 1, drain, lambda c: c, carry)
+        return (
+            carry,
+            jnp.minimum(count + 1, jnp.int32(q - 1)),
+            jax.lax.rem(head + jnp.int32(1), jnp.int32(q)),
+        )
 
     def scan(carry0):
         # Pair entries are staged through VMEM scratch so per-box slices
@@ -778,8 +800,7 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
 
             return jax.lax.fori_loop(0, n_sb, sup_bucket, st)
 
-        st = (carry0, jnp.zeros(shp, jnp.float32), jnp.int32(0),
-              jnp.int32(0))
+        st = (carry0, jnp.int32(0), jnp.int32(0))
 
         def hyp_outer(i, st):
             base = jax.lax.rem(i, jnp.int32(n_hyp_masks)) * _MASK_BITS
@@ -802,22 +823,30 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
             return st
 
         st = jax.lax.fori_loop(0, n_buckets * n_hyp_masks, hyp_outer, st)
-        carry, entp, have, par = st
+        carry, count, head = st
 
-        def drain(carry):
-            pltpu.make_async_copy(
-                rec_hbm.at[0], scr2.at[1 - par], sem2.at[1 - par]
-            ).wait()
-            return process_fn(1 - par, entp, carry)
+        # Drain the pipeline tail: up to Q-1 records are still in flight,
+        # oldest first.
+        for _ in range(q - 1):
+            def final_drain(c, count=count, head=head):
+                tail = jax.lax.rem(head + jnp.int32(q) - count, jnp.int32(q))
+                pltpu.make_async_copy(
+                    rec_hbm.at[0], scr2.at[tail], sem2.at[tail]
+                ).wait()
+                return process_fn(tail, scr_ef[tail, :rows], c)
 
-        return jax.lax.cond(have > 0, drain, lambda c: c, carry)
+            carry = jax.lax.cond(
+                count > 0, final_drain, lambda c: c, carry
+            )
+            count = jnp.maximum(count - 1, 0)
+        return carry
 
     return jax.lax.cond(run_gate, scan, lambda c: c, carry0)
 
 
 def traverse_clusters(
     sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es, scr_ec,
-    scr_m, sem_c, sem2,
+    scr_m, scr_ef, sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     best_t, best_p, nx, ny, nz, mid,
     *,
@@ -870,7 +899,7 @@ def traverse_clusters(
         run_gate = run_gate & root
     return _scan_pipelined(
         sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es,
-        scr_ec, scr_m, sem_c, sem2,
+        scr_ec, scr_m, scr_ef, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, carry0, n_super, run_gate, visit_ref, 0,
         clb_resident=clb_resident,
@@ -879,7 +908,7 @@ def traverse_clusters(
 
 def traverse_clusters_anyhit(
     sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es, scr_ec,
-    scr_m, sem_c, sem2,
+    scr_m, scr_ef, sem_c, sem2,
     ox, oy, oz, dx, dy, dz,
     t_lim, occluded_f,
     *,
@@ -914,7 +943,7 @@ def traverse_clusters_anyhit(
         run_gate = run_gate & root
     occ_f = _scan_pipelined(
         sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh, scr_es,
-        scr_ec, scr_m, sem_c, sem2,
+        scr_ec, scr_m, scr_ef, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, occluded_f, n_super, run_gate, visit_ref, 2,
         clb_resident=clb_resident,
@@ -929,7 +958,7 @@ def traverse_clusters_anyhit(
 def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
                    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                    lim_r, t_out, p_out, scr_c, scr2, scr_eh, scr_es,
-                   scr_ec, scr_m, sem_c, sem2,
+                   scr_ec, scr_m, scr_ef, sem_c, sem2,
                    *, n_super, any_hit, clb_resident=False):
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
@@ -938,7 +967,7 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
     if any_hit:
         occ = traverse_clusters_anyhit(
             sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
-            scr_es, scr_ec, scr_m, sem_c, sem2,
+            scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             lim, jnp.zeros(shp, jnp.float32),
             n_super=n_super, clb_resident=clb_resident,
@@ -952,7 +981,7 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
         dmid = jnp.zeros(shp, jnp.int32)
         best_t, best_p, _, _, _, _ = traverse_clusters(
             sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
-            scr_es, scr_ec, scr_m, sem_c, sem2,
+            scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             best_t, best_p, dummy, dummy, dummy, dmid,
             n_super=n_super,
@@ -999,13 +1028,15 @@ def _single_call(sup, hyp, clb, records, comps, lim, n_super,
         ],
         scratch_shapes=[
             pltpu.VMEM((GROUP, 128), jnp.float32),
-            pltpu.VMEM((2, records.shape[1], PAIR_COLS), jnp.float32),
+            pltpu.VMEM((REC_QUEUE, records.shape[1], PAIR_COLS),
+                       jnp.float32),
             pltpu.VMEM((hyp.shape[0], 8, 128), jnp.float32),
             pltpu.VMEM((GROUP2, 8, 128), jnp.float32),
             pltpu.VMEM((GROUP, 8, 128), jnp.float32),
             pltpu.SMEM((MASK_SLOTS,), jnp.int32),
+            pltpu.VMEM((REC_QUEUE, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((REC_QUEUE,)),
         ],
         interpret=interpret,
     )(sup, hyp, clb, records, *comps, lim)

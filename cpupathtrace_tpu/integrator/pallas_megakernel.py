@@ -43,6 +43,7 @@ from ..accel.kernel_traverse import (
     MASK_SLOTS,
     PAIR_COLS,
     REC_LANES,
+    REC_QUEUE,
     _moment,
     clb_fits_vmem,
     pair_test_anyhit,
@@ -323,9 +324,9 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 pos += 1
             shp = ox_ref.shape
         if n_super:
-            (scr_c, scr2, scr_eh, scr_es, scr_ec, scr_m,
-             sem_c, sem2) = rest[pos:pos + 8]
-            pos += 8
+            (scr_c, scr2, scr_eh, scr_es, scr_ec, scr_m, scr_ef,
+             sem_c, sem2) = rest[pos:pos + 9]
+            pos += 9
         if debug_visits:
             vis_ref = rest[pos]
             pos += 1
@@ -369,7 +370,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             if n_super and not _SKIP_TRAVERSE:
                 bt, bp, nx, ny, nz, mid = traverse_clusters(
                     sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                    scr_eh, scr_es, scr_ec, scr_m, sem_c, sem2,
+                    scr_eh, scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super,
@@ -473,7 +474,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     # visible; inactive lanes carry t_lim = 0.
                     occ = traverse_clusters_anyhit(
                         sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                        scr_eh, scr_es, scr_ec, scr_m, sem_c, sem2,
+                        scr_eh, scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
@@ -618,7 +619,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 cat = lambda i: jnp.concatenate([s[i] for s in sh], axis=0)
                 occ_all = traverse_clusters_anyhit(
                     sup_ref, hyp_ref, clb_hbm, rec_hbm, scr_c, scr2,
-                    scr_eh, scr_es, scr_ec, scr_m, sem_c, sem2,
+                    scr_eh, scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
                     cat(0), cat(1), cat(2), cat(3), cat(4), cat(5),
                     cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
                                       jnp.float32),
@@ -1015,13 +1016,14 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         rec_rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
         scratch = [
             pltpu.VMEM((GROUP, 128), jnp.float32),
-            pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((REC_QUEUE, rec_rows, PAIR_COLS), jnp.float32),
             pltpu.VMEM((hyp.shape[0], rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP2, rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
             pltpu.SMEM((MASK_SLOTS,), jnp.int32),
+            pltpu.VMEM((REC_QUEUE, rows_max, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((REC_QUEUE,)),
         ]
         if debug_visits:
             # Per-block traversal counters (profiling only):

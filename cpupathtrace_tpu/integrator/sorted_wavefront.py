@@ -43,6 +43,7 @@ from ..accel.kernel_traverse import (
     MASK_SLOTS,
     PAIR_COLS,
     REC_LANES,
+    REC_QUEUE,
     clb_fits_vmem,
 )
 from ..core.config import RenderOptions
@@ -178,13 +179,14 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
         rec_rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
         scratch = [
             pltpu.VMEM((GROUP, 128), jnp.float32),
-            pltpu.VMEM((2, rec_rows, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((REC_QUEUE, rec_rows, PAIR_COLS), jnp.float32),
             pltpu.VMEM((hyp.shape[0], rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP2, rows_max, 128), jnp.float32),
             pltpu.VMEM((GROUP, rows_max, 128), jnp.float32),
             pltpu.SMEM((MASK_SLOTS,), jnp.int32),
+            pltpu.VMEM((REC_QUEUE, rows_max, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((REC_QUEUE,)),
         ]
     return pl.pallas_call(
         kernel,
