@@ -45,8 +45,10 @@ def log(msg):
 
 def _frame_fn(scene, camera, options, width, height, spp_chunk, n_chunks):
     from cpupathtrace_tpu.integrator.film import (
+        morton_perm,
         pixel_camera_coords,
         render_chunk,
+        use_pixel_order,
     )
 
     xg, yg = np.meshgrid(
@@ -55,6 +57,9 @@ def _frame_fn(scene, camera, options, width, height, spp_chunk, n_chunks):
     x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
     x_cam = jnp.asarray(x_cam, jnp.float32)
     y_cam = jnp.asarray(y_cam, jnp.float32)
+    perm = None
+    if use_pixel_order(scene):
+        perm = jnp.asarray(morton_perm(xg.ravel(), yg.ravel()), jnp.int32)
 
     def frame(seed):
         key = jax.random.PRNGKey(seed)
@@ -62,7 +67,8 @@ def _frame_fn(scene, camera, options, width, height, spp_chunk, n_chunks):
         count = jnp.zeros(width * height, jnp.int32)
         for k in jax.random.split(key, n_chunks):
             s, c = render_chunk(
-                scene, camera, options, x_cam, y_cam, k, spp_chunk
+                scene, camera, options, x_cam, y_cam, k, spp_chunk,
+                pixel_order=perm,
             )
             total = total + s
             count = count + c

@@ -33,11 +33,24 @@ xg, yg = np.meshgrid(np.arange(W, dtype=np.float32),
                      np.arange(H, dtype=np.float32))
 options = RenderOptions(W, H, SPP, SPP, epsilon=1e-3, max_depth=40)
 x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
-if os.environ.get("PTX_PROF_ORDER", "sample") == "pixel":
+_order = os.environ.get("PTX_PROF_ORDER", "sample")
+if _order == "pixel":
     # Pixel-major: the spp samples of one pixel are adjacent — a 1024-ray
     # block covers 64 consecutive pixels instead of 8 image rows.
     xs = jnp.repeat(jnp.asarray(x_cam), SPP)
     ys = jnp.repeat(jnp.asarray(y_cam), SPP)
+elif _order == "morton":
+    # Morton-tiled pixel-major: a 1024-ray block covers an 8x8 pixel TILE
+    # x 16 samples — the tightest primary frustum per block.
+    px = xg.ravel().astype(np.int64)
+    py = yg.ravel().astype(np.int64)
+    code = np.zeros_like(px)
+    for b in range(8):
+        code |= ((px >> b) & 1) << (2 * b)
+        code |= ((py >> b) & 1) << (2 * b + 1)
+    perm = np.argsort(code)
+    xs = jnp.repeat(jnp.asarray(x_cam)[perm], SPP)
+    ys = jnp.repeat(jnp.asarray(y_cam)[perm], SPP)
 else:
     xs = jnp.tile(jnp.asarray(x_cam), SPP)
     ys = jnp.tile(jnp.asarray(y_cam), SPP)
@@ -46,15 +59,22 @@ rays = shoot_rays(camera, xs, ys, 1.0 / W, 1.0 / H, jax.random.PRNGKey(0))
 depths = [int(x) for x in sys.argv[1:]] or [40]
 for md in depths:
     opts_d = dataclasses.replace(options, max_depth=md)
-    fn = jax.jit(lambda r, o=opts_d: trace_megakernel(scene, r, o, 7))
+
+    # Reduce on-device: transferring the full [R,4] spectrum over the axon
+    # tunnel costs ~130 ms (measured) and swamps the kernel time.
+    @jax.jit
+    def fn(r, o=opts_d):
+        s, _ = trace_megakernel(scene, r, o, 7)
+        return s[:, :3].mean()
+
     t0 = time.time()
-    s, _ = fn(rays); s = np.asarray(s)
+    m = float(fn(rays))
     comp = time.time() - t0
     dt = 1e30
     for _ in range(3):
         t0 = time.time()
-        s, _ = fn(rays); s = np.asarray(s)
+        m = float(fn(rays))
         dt = min(dt, time.time() - t0)
     print(f"# depth {md:3d} mega: {dt*1000:8.1f} ms "
-          f"({W*H*SPP/dt/1e6:.3f} Mrays/s)  rgb {s[:, :3].mean():.5f}  "
+          f"({W*H*SPP/dt/1e6:.3f} Mrays/s)  rgb {m:.5f}  "
           f"(compile {comp:.0f}s)", flush=True)

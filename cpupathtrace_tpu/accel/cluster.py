@@ -128,3 +128,140 @@ def build_cluster_bvh(
         n_clusters=c,
         cluster_size=cluster_size,
     )
+
+
+def build_sah_clusters(
+    prim_lo: np.ndarray,
+    prim_hi: np.ndarray,
+    cluster_size: int = 64,
+    n_bins: int = 16,
+):
+    """Binned-SAH top-down clustering (members [C, L] i32 padded with -1,
+    c_lo [C, 3], c_hi [C, 3]), clusters emitted in DFS order.
+
+    The reference build policy (median split on the axis minimizing the two
+    child surface areas, src/scene/scene.cpp:12-102) balances COUNTS; its
+    subtree boxes overlap badly on organic meshes, and the in-kernel
+    traversal's record-visit count is directly proportional to how many
+    cluster boxes a ray beam enters (docs/DESIGN_large_scenes.md round-3
+    notes: cluster bounds quality is the highest-sensitivity lever — a
+    sloppier packing measured 2x slower end to end). Here each node is
+    split by a 16-bin surface-area-heuristic sweep on its dominant centroid
+    axis: cost(k) = N_L*SA_L + N_R*SA_R, the standard greedy minimizer of
+    expected intersection work. Splitting recurses until nodes hold
+    <= cluster_size primitives.
+
+    Everything is LEVEL-SWEPT vectorized numpy (one pass per tree level,
+    like build_cluster_bvh): per-node segment reductions via reduceat over
+    the contiguously-partitioned slot order, per-(node, bin) aggregates via
+    bincount / minimum.at, and the partition via one stable lexsort per
+    level. ~1 s for 200k primitives.
+    """
+    n = int(prim_lo.shape[0])
+    f32 = np.float32
+    prim_lo = np.asarray(prim_lo, f32)
+    prim_hi = np.asarray(prim_hi, f32)
+    if n == 0:
+        return (np.full((1, cluster_size), -1, np.int32),
+                np.zeros((1, 3), f32), np.zeros((1, 3), f32))
+    cent = (prim_lo + prim_hi) * 0.5
+
+    order = np.arange(n, dtype=np.int64)
+    starts = np.array([0], dtype=np.int64)
+    counts = np.array([n], dtype=np.int64)
+    out_ranges: list[tuple[int, int]] = []
+
+    def _sa(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 0] * d[..., 2] + d[..., 1] * d[..., 2]
+
+    while starts.size:
+        leaf = counts <= cluster_size
+        for s, c in zip(starts[leaf], counts[leaf]):
+            out_ranges.append((int(s), int(c)))
+        starts, counts = starts[~leaf], counts[~leaf]
+        if not starts.size:
+            break
+        a = starts.size
+
+        # Per-slot node index over the active ranges (slots of leaf ranges
+        # are frozen — later levels only repartition active ranges).
+        sel = np.concatenate(
+            [order[s:s + c] for s, c in zip(starts, counts)]
+        ) if a > 1 else order[starts[0]:starts[0] + counts[0]].copy()
+        slot_node = np.repeat(np.arange(a, dtype=np.int64), counts)
+        seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        csel = cent[sel]
+
+        # Dominant centroid axis per node.
+        cmin = np.minimum.reduceat(csel, seg_starts, axis=0)
+        cmax = np.maximum.reduceat(csel, seg_starts, axis=0)
+        ext = cmax - cmin
+        axis = np.argmax(ext, axis=1)
+        span = ext[np.arange(a), axis]
+        degenerate = span <= 0.0
+
+        cax = csel[np.arange(sel.size), axis[slot_node]]
+        lo_ax = cmin[np.arange(a), axis][slot_node]
+        sp_ax = np.maximum(span, 1e-30)[slot_node]
+        b = np.minimum(
+            ((cax - lo_ax) / sp_ax * n_bins).astype(np.int64), n_bins - 1
+        )
+
+        # Per-(node, bin) counts and bounds.
+        key = slot_node * n_bins + b
+        bc = np.bincount(key, minlength=a * n_bins).reshape(a, n_bins)
+        blo = np.full((a * n_bins, 3), np.inf, f32)
+        bhi = np.full((a * n_bins, 3), -np.inf, f32)
+        np.minimum.at(blo, key, prim_lo[sel])
+        np.maximum.at(bhi, key, prim_hi[sel])
+        blo = blo.reshape(a, n_bins, 3)
+        bhi = bhi.reshape(a, n_bins, 3)
+
+        # Prefix/suffix sweeps -> SAH cost of splitting after bin k.
+        plo = np.minimum.accumulate(blo, axis=1)
+        phi = np.maximum.accumulate(bhi, axis=1)
+        pn = np.cumsum(bc, axis=1)
+        slo = np.minimum.accumulate(blo[:, ::-1], axis=1)[:, ::-1]
+        shi = np.maximum.accumulate(bhi[:, ::-1], axis=1)[:, ::-1]
+        sn = np.cumsum(bc[:, ::-1], axis=1)[:, ::-1]
+        nl = pn[:, :-1]
+        nr = sn[:, 1:]
+        cost = nl * _sa(plo[:, :-1], phi[:, :-1]) + nr * _sa(slo[:, 1:], shi[:, 1:])
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        kbest = np.argmin(cost, axis=1)
+        no_split = ~np.isfinite(cost[np.arange(a), kbest]) | degenerate
+
+        # Side per slot: SAH bin split, or median-of-range fallback when the
+        # node cannot be split by centroid (all centroids coincide).
+        side = (b > kbest[slot_node]).astype(np.int8)
+        if no_split.any():
+            in_node_pos = np.arange(sel.size) - seg_starts[slot_node]
+            med = (counts // 2)[slot_node]
+            fb = no_split[slot_node]
+            side = np.where(fb, (in_node_pos >= med).astype(np.int8), side)
+
+        # Stable partition within each node, writing back into `order`.
+        perm = np.lexsort((side, slot_node))
+        sel = sel[perm]
+        side = side[perm]
+        write = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, counts)]
+        ) if a > 1 else np.arange(starts[0], starts[0] + counts[0])
+        order[write] = sel
+
+        nls = np.bincount(slot_node, weights=1 - side.astype(np.int64),
+                          minlength=a).astype(np.int64)
+        starts = np.concatenate([starts, starts + nls])
+        counts = np.concatenate([nls, counts - nls])
+
+    out_ranges.sort()  # ranges are disjoint: start order == DFS order
+    c = len(out_ranges)
+    members = np.full((c, cluster_size), -1, np.int32)
+    for i, (s, ln) in enumerate(out_ranges):
+        members[i, :ln] = order[s:s + ln]
+    valid = members >= 0
+    midx = np.maximum(members, 0)
+    c_lo = np.where(valid[..., None], prim_lo[midx], np.inf).min(axis=1)
+    c_hi = np.where(valid[..., None], prim_hi[midx], -np.inf).max(axis=1)
+    return members, c_lo.astype(f32), c_hi.astype(f32)

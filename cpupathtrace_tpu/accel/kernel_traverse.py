@@ -332,11 +332,17 @@ def _root_gate(sup_v, ox, oy, oz, ix, iy, iz, bound):
     return jnp.max(jnp.where(enter, 1.0, 0.0)) > 0.5
 
 
-def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
+def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz,
+                     cull_mode=-1):
     """Sign-normalized MT quantities for one ray row vs a resident record:
     `cols` = the first 17 feature columns as [T, 1] arrays. Returns
     (sd, su, sv, st, ok) as [T tris, 128 rays] f32/bool with ok =
-    geometric hit with t >= 0 (no t-upper-bound applied)."""
+    geometric hit with t >= 0 (no t-upper-bound applied).
+
+    `cull_mode` (static): -1 = per-triangle cull column, 0 = no triangle
+    in the record culls, 1 = every triangle culls. The uniform modes drop
+    the per-pair cull-column compare/or from the hot loop (~8% of the
+    record test on the dragon bench)."""
     c = cols
     det = c[0] * djx + c[1] * djy + c[2] * djz
     un = (c[3] * mjx + c[4] * mjy + c[5] * mjz
@@ -349,15 +355,25 @@ def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz):
     su = un * sgn
     sv = vn * sgn
     st = tn * sgn
-    inside = jnp.minimum(jnp.minimum(su, sv), sd - su - sv)
-    cull_ok = (c[_C_CULL] < 0.5) | (det > 0.0)
-    ok = (inside >= 0.0) & (st >= 0.0) & (sd > _TRI_EPS) & cull_ok
+    # st >= 0 folded into the inside-min: one min replaces a cmp + and.
+    inside = jnp.minimum(
+        jnp.minimum(jnp.minimum(su, sv), sd - su - sv), st
+    )
+    if cull_mode == 0:
+        ok = (inside >= 0.0) & (sd > _TRI_EPS)
+    elif cull_mode == 1:
+        # Culling tris require det > 0; with sd = |det| > eps that is
+        # det > eps exactly.
+        ok = (inside >= 0.0) & (det > _TRI_EPS)
+    else:
+        cull_ok = (c[_C_CULL] < 0.5) | (det > 0.0)
+        ok = (inside >= 0.0) & (sd > _TRI_EPS) & cull_ok
     return sd, su, sv, st, ok
 
 
 def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                       state, *, want_normal_mat, enter_f=None,
-                      use_conds=True):
+                      use_conds=True, cull_mode=-1):
     """Nearest-hit pair test of one resident record against the whole
     (rows, 128) ray block. `col(i)` yields record feature column i as
     [T, 1]. state = (best_t, best_p, nx, ny, nz, mid) as (rows, 128)
@@ -383,6 +399,7 @@ def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                 ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
                 dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
                 mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
+                cull_mode=cull_mode,
             )
             tv = st / jnp.where(ok, sd, 1.0)
             okf = ok & (tv < btj)
@@ -458,7 +475,8 @@ def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
 
 
 def pair_test_anyhit(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
-                     t_lim, occ_f, *, enter_f=None, use_conds=True):
+                     t_lim, occ_f, *, enter_f=None, use_conds=True,
+                     cull_mode=-1):
     """Any-hit pair test of one resident record: returns the updated
     (rows, 128) occlusion mask (f32). The t division is avoided entirely:
     t < t_lim iff st < t_lim * sd (sd > 0 post-normalization).
@@ -474,6 +492,7 @@ def pair_test_anyhit(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                 ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
                 dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
                 mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
+                cull_mode=cull_mode,
             )
             hit = ok & (st < tlj * sd)
             occ_row = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True)
@@ -857,6 +876,7 @@ def traverse_clusters(
     visit_ref=None,
     rec_conds=True,
     clb_resident=False,
+    cull_mode=-1,
 ):
     """Nearest-hit over the cluster set, inlined into a Pallas kernel.
 
@@ -890,7 +910,7 @@ def traverse_clusters(
         return pair_test_nearest(
             col, ox, oy, oz, dx, dy, dz, mx, my, mz, carry,
             want_normal_mat=want_normal_mat, enter_f=enter_f,
-            use_conds=rec_conds,
+            use_conds=rec_conds, cull_mode=cull_mode,
         )
 
     carry0 = (best_t, best_p, nx, ny, nz, mid)
@@ -917,6 +937,7 @@ def traverse_clusters_anyhit(
     visit_ref=None,
     rec_conds=True,
     clb_resident=False,
+    cull_mode=-1,
 ):
     """Any-hit (shadow) traversal: returns the updated occluded mask
     (as bool, from an f32 `occluded_f` input — see `active` in
@@ -935,7 +956,7 @@ def traverse_clusters_anyhit(
         col = lambda i: scr2[slot, :, i:i + 1]
         return pair_test_anyhit(
             col, ox, oy, oz, dx, dy, dz, mx, my, mz, t_lim, occ_f,
-            enter_f=enter_f, use_conds=rec_conds,
+            enter_f=enter_f, use_conds=rec_conds, cull_mode=cull_mode,
         )
 
     run_gate = _root_gate(hyp_v, ox, oy, oz, ix, iy, iz, t_lim)

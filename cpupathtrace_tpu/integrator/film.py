@@ -76,12 +76,45 @@ def _dispatch_trace(scene, rays, options, key, differentiable):
 
         if megakernel_supported(scene):
             seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
-            if os.environ.get("PTX_SORTED_WAVEFRONT") == "1":
+            # Binned (large-mesh) scenes default to the sorted-wavefront
+            # driver: per-bounce coherence sorting cuts cluster-record
+            # visits ~2.4x and, with the fused multi-operand sort, costs
+            # ~5-10 ms/bounce — 2.5x faster end to end on the dragon bench
+            # than the register-resident while-loop (BASELINE.md). Dense
+            # scenes keep the while-loop kernel (nothing to traverse).
+            flag = os.environ.get("PTX_SORTED_WAVEFRONT")
+            use_sorted = (
+                flag == "1" or (flag != "0" and scene.has_kernel_records)
+            )
+            if use_sorted:
                 from .sorted_wavefront import trace_megakernel_sorted
 
                 return trace_megakernel_sorted(scene, rays, options, seed)
             return trace_megakernel(scene, rays, options, seed)
     return trace(scene, rays, options, key, differentiable)
+
+
+def morton_perm(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Permutation sorting integer pixel coords into Morton (Z-curve) order.
+
+    Binned megakernel scenes traverse per 1024-ray block; Morton-tiled
+    pixel-major ray order makes each block an ~8x8-pixel tile x spp samples
+    — the tightest primary frustum per block, measured ~5% faster on the
+    dragon benchmark than row-major order (docs/DESIGN_large_scenes.md)."""
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    code = np.zeros_like(px)
+    for b in range(16):
+        code |= ((px >> b) & 1) << (2 * b)
+        code |= ((py >> b) & 1) << (2 * b + 1)
+    return np.argsort(code, kind="stable")
+
+
+def use_pixel_order(scene: SceneData) -> bool:
+    """Morton ordering pays only on the in-kernel cluster traversal path."""
+    from ..ops.intersect import _on_tpu
+
+    return scene.has_kernel_records and _on_tpu()
 
 
 @partial(jax.jit, static_argnames=("options", "spp", "differentiable"))
@@ -94,11 +127,21 @@ def render_chunk(
     key,
     spp: int,
     differentiable: bool = False,
+    pixel_order=None,  # [P] i32 permutation (see morton_perm) or None
 ):
-    """Trace `spp` samples for P pixels; returns (sum [P,4], collected [P])."""
+    """Trace `spp` samples for P pixels; returns (sum [P,4], collected [P]).
+
+    With `pixel_order`, rays launch PIXEL-MAJOR over the permuted pixel
+    list (each pixel's spp samples adjacent) and the sums are scattered
+    back, so results are positionally identical to the unpermuted call
+    (the RNG pairing differs — same estimator, different stream)."""
     p = x_cam.shape[0]
-    xs = jnp.tile(x_cam, spp)
-    ys = jnp.tile(y_cam, spp)
+    if pixel_order is not None:
+        xs = jnp.repeat(x_cam[pixel_order], spp)
+        ys = jnp.repeat(y_cam[pixel_order], spp)
+    else:
+        xs = jnp.tile(x_cam, spp)
+        ys = jnp.tile(y_cam, spp)
     k_cam, k_trace = jax.random.split(key)
     rays = shoot_rays(
         camera, xs, ys, 1.0 / options.image_width, 1.0 / options.image_height, k_cam
@@ -106,6 +149,15 @@ def render_chunk(
     spectrum, collected = _dispatch_trace(
         scene, rays, options, k_trace, differentiable
     )
+    if pixel_order is not None:
+        spectrum = spectrum.reshape(p, spp, 4)
+        collected = collected.reshape(p, spp)
+        s = jnp.sum(jnp.where(collected[..., None], spectrum, 0.0), axis=1)
+        c = jnp.sum(collected.astype(jnp.int32), axis=1)
+        return (
+            jnp.zeros_like(s).at[pixel_order].set(s),
+            jnp.zeros_like(c).at[pixel_order].set(c),
+        )
     spectrum = spectrum.reshape(spp, p, 4)
     collected = collected.reshape(spp, p)
     return (
@@ -168,6 +220,7 @@ def render_tile(
     x_cam: np.ndarray,
     y_cam: np.ndarray,
     key,
+    pixel_order=None,
 ) -> jnp.ndarray:
     """Adaptive render of one pixel tile; returns [P,4] pixel values."""
     p = x_cam.shape[0]
@@ -187,7 +240,8 @@ def render_tile(
 
     keys = jax.random.split(key, n_full + 1)
     for c in range(n_full):
-        s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[c], stats)
+        s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[c],
+                               stats, pixel_order=pixel_order)
         live = ~frozen
         pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
         n_collected = jnp.where(live, n_collected + coll, n_collected)
@@ -230,7 +284,9 @@ def render_tile(
             break
 
     if remainder > 0:
-        s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[n_full], remainder)
+        s, coll = render_chunk(scene, camera, options, x_cam, y_cam,
+                               keys[n_full], remainder,
+                               pixel_order=pixel_order)
         live = ~frozen
         pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
         n_collected = jnp.where(live, n_collected + coll, n_collected)
@@ -273,6 +329,7 @@ def render(
     key = jax.random.PRNGKey(seed)
     tile_keys = jax.random.split(key, n_tiles)
 
+    order = use_pixel_order(scene)
     for i in range(n_tiles):
         y0 = i * rows_per_tile
         rows = min(rows_per_tile, h - y0)  # exact tail tile: no overlap,
@@ -280,11 +337,17 @@ def render(
         # a non-divisible height costs one extra jit specialization.
         py = np.arange(y0, y0 + rows, dtype=np.float32)
         xg, yg = np.meshgrid(px, py)
+        perm = None
+        if order:
+            perm = jnp.asarray(
+                morton_perm(xg.ravel(), yg.ravel() - y0), jnp.int32
+            )
         x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
         tile = render_tile(
             scene, camera, options,
             jnp.asarray(x_cam, jnp.float32), jnp.asarray(y_cam, jnp.float32),
             tile_keys[i],
+            pixel_order=perm,
         )
         image[y0 : y0 + rows] = np.asarray(tile).reshape(rows, w, 4)
         if progress_callback is not None:

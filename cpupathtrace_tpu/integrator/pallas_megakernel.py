@@ -254,8 +254,10 @@ def _tangent_frame(nx, ny, nz):
 _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
 # Per-row lax.cond gating in the traversal record tests (A/B knob): conds
 # skip rows that did not enter a cluster, but each Mosaic cond region costs
-# more as the surrounding live state grows.
-_REC_CONDS = os.environ.get("PTX_REC_CONDS", "1") == "1"
+# more as the surrounding live state grows. Measured on the dragon bench
+# (round 3): blocks are row-coherent — the conds almost never skip and cost
+# ~3% of the frame, so they default OFF.
+_REC_CONDS = os.environ.get("PTX_REC_CONDS", "0") == "1"
 # Comma-separated kernel-body ablations for perf bisection (profiling only):
 # "nee" drops next-event estimation, "bigpair" drops the big-partition pair
 # tests, "prop" replaces BSDF sampling with straight-through propagation,
@@ -279,7 +281,7 @@ N_STATE = len(STATE_FIELDS)
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                      epsilon, n_super=0, debug_visits=False,
                      single_bounce=False, dense_pair=False,
-                     clb_vmem=False):
+                     clb_vmem=False, cull_mode=-1):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes four extra inputs (supercluster VMEM bounds, cluster
     bounds pages, cluster records, big-partition pair record) and four
@@ -376,7 +378,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     n_super=n_super,
                     want_normal_mat=True, active=alive_f,
                     visit_ref=vis_ref, rec_conds=_REC_CONDS,
-                    clb_resident=clb_vmem,
+                    clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
             hit = alive & (bp >= 0)
             collected = collected | hit
@@ -479,7 +481,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
                         visit_ref=vis_ref, rec_conds=_REC_CONDS,
-                    clb_resident=clb_vmem,
+                        clb_resident=clb_vmem, cull_mode=cull_mode,
                     )
                     visible = visible & ~occ
                 return nee_finish(ldx, ldy, ldz, visible, ls_r, ls_g, ls_b,
@@ -625,7 +627,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                                       jnp.float32),
                     n_super=n_super,
                     visit_ref=vis_ref, rec_conds=_REC_CONDS,
-                    clb_resident=clb_vmem,
+                    clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
                 r0 = shp[0]
                 for k, (d, s) in enumerate(zip(em_draws, sh)):
@@ -957,12 +959,13 @@ def _pack_tables(scene: SceneData):
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "max_depth", "epsilon", "n_super",
-                     "block_rows", "debug_visits", "dense_pair"),
+                     "block_rows", "debug_visits", "dense_pair",
+                     "cull_mode"),
 )
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
                em_k, max_depth, epsilon, n_super=0,
                block_rows=_BLOCK_ROWS, debug_visits=False,
-               dense_pair=False):
+               dense_pair=False, cull_mode=-1):
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
@@ -977,7 +980,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
         n_super=n_super, debug_visits=debug_visits, dense_pair=dense_pair,
-        clb_vmem=clb_vmem,
+        clb_vmem=clb_vmem, cull_mode=cull_mode,
     )
     table_specs = [
         smem((1,)),
@@ -1120,7 +1123,7 @@ def trace_megakernel(
         max_depth=int(options.max_depth), epsilon=float(options.epsilon),
         n_super=n_super, block_rows=block_rows,
         debug_visits=bool(debug_visits and n_super),
-        dense_pair=dense_pair,
+        dense_pair=dense_pair, cull_mode=int(scene.krn_cull_mode),
     )
     out_r, out_g, out_b, coll = outs[:4]
     coll = coll.reshape(-1)[:r] > 0.5

@@ -58,6 +58,12 @@ from .pallas_megakernel import (
 
 _MORTON_BITS = 4  # per axis: 12-bit cell + 3-bit octant key
 
+# Skip the per-bounce re-sort when fewer rays than this are alive: the live
+# set is already packed at the head (dead rays sort to the tail and STAY
+# there — a dead ray's key is terminal), so late sparse bounces get no new
+# coherence for the sort's ~5-10 ms.
+_SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 14)))
+
 
 def _seed_rng_flat(seed, idx):
     """Per-ray xorshift32 state from the ORIGINAL ray index (sort-stable);
@@ -134,11 +140,12 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
 @partial(
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
-                     "epsilon", "n_super", "block_rows", "dense_pair"),
+                     "epsilon", "n_super", "block_rows", "dense_pair",
+                     "cull_mode"),
 )
 def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
                  n_em, em_k, epsilon, n_super, block_rows,
-                 dense_pair=False):
+                 dense_pair=False, cull_mode=-1):
     """One bounce of the megakernel body over [rows, 128] state blocks."""
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = state[1].shape[0]
@@ -153,7 +160,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
     kernel = _make_megakernel(
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth=0,
         epsilon=epsilon, n_super=n_super, single_bounce=True,
-        dense_pair=dense_pair, clb_vmem=clb_vmem,
+        dense_pair=dense_pair, clb_vmem=clb_vmem, cull_mode=cull_mode,
     )
     table_specs = [
         smem((2,)),
@@ -263,6 +270,7 @@ def trace_megakernel_sorted(
         n_em=int(scene.n_emissive), em_k=int(scene.emissive_sample_count),
         epsilon=float(options.epsilon), n_super=n_super,
         block_rows=block_rows, dense_pair=dense_pair,
+        cull_mode=int(scene.krn_cull_mode),
     )
     max_depth = int(options.max_depth)
     lo = scene.root_lo
@@ -296,17 +304,34 @@ def trace_megakernel_sorted(
             return depth + 1, st, idx
         key = _sort_key(st[1], st[2], st[3], st[4], st[5], st[6],
                         st[17], lo, hi)
-        perm = jnp.argsort(key, stable=False)
-        st = tuple(a[perm] for a in st)
-        return depth + 1, st, idx[perm]
+
+        # Multi-operand sort: the network carries every state array along
+        # with the key. An argsort + 19 take()s costs ~116 ms/bounce on
+        # v5e (TPU dynamic gather is serial); the fused sort is ~10x
+        # cheaper (docs/DESIGN_large_scenes.md round-3 notes).
+        def do_sort(ops):
+            return jax.lax.sort(ops, num_keys=1, is_stable=False)
+
+        # Tail bounces carry few live rays (sorted to the head, whole
+        # blocks dead): re-sorting the full array buys nothing there, so
+        # skip the sort once the live population is small.
+        n_alive = jnp.sum(st[17])
+        out = jax.lax.cond(
+            n_alive >= _SORT_MIN_ALIVE, do_sort, lambda ops: ops,
+            (key,) + st + (idx,),
+        )
+        return depth + 1, tuple(out[1:1 + N_STATE]), out[1 + N_STATE]
 
     _, st, idx = jax.lax.while_loop(cond, step, (jnp.int32(0), state, idx0))
 
-    inv = jnp.argsort(idx, stable=False)
-    out_r = st[10][inv][:r]
-    out_g = st[11][inv][:r]
-    out_b = st[12][inv][:r]
-    coll = st[16][inv][:r] > 0.5
+    # Un-permute by sorting on the original ray index (gather-free).
+    idx, out_r, out_g, out_b, coll_f = jax.lax.sort(
+        (idx, st[10], st[11], st[12], st[16]), num_keys=1, is_stable=False
+    )
+    out_r = out_r[:r]
+    out_g = out_g[:r]
+    out_b = out_b[:r]
+    coll = coll_f[:r] > 0.5
     spectrum = jnp.stack(
         [out_r, out_g, out_b, coll.astype(jnp.float32)], axis=-1
     )

@@ -56,7 +56,7 @@ BSDF_MIRROR = 2
         "n_tri", "n_sph", "n_point_lights", "n_emissive",
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
         "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
-        "emissive_in_dense", "gp_axis",
+        "emissive_in_dense", "gp_axis", "krn_cull_mode",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +174,11 @@ class SceneData:
     # `scene_intersect` combines per-shard nearest hits with pmin
     # collectives; must be None outside shard_map.
     gp_axis: str | None = None
+    # Static cull uniformity of the in-kernel cluster records: 0 = no
+    # record triangle culls, 1 = all cull, -1 = mixed. Uniform modes let
+    # the megakernel drop the per-pair cull column from the record test
+    # (accel/kernel_traverse.py:_pair_quantities).
+    krn_cull_mode: int = -1
 
     @property
     def use_bvh(self) -> bool:
@@ -295,7 +300,7 @@ class SceneBuilder:
         "bvh"/"dense".
         """
         from ..accel.build import build_bvh
-        from ..accel.cluster import build_cluster_bvh
+        from ..accel.cluster import build_cluster_bvh, build_sah_clusters
 
         f32 = np.float32
         tri_batch = TriangleBatch.concatenate(self._batches)
@@ -563,6 +568,7 @@ class SceneBuilder:
         # 128-triangle clustering of the small partition, packed as
         # supercluster/cluster-bounds/record tiers (accel/kernel_traverse.py).
         krn_cluster_size = 0
+        krn_cull_mode = -1
         krn_big_pair = np.zeros((1, 1), f32)
         # The pair-record table costs ~512 B per small triangle; beyond the
         # budget (default ~2.1M triangles = ~1.1 GB of records) skip the
@@ -578,12 +584,24 @@ class SceneBuilder:
             # 64-triangle records halve the per-visit VPU pair-test cost;
             # the extra cluster count rides the (cheap) bitmask tiers.
             krn_cluster = int(os.environ.get("PTX_KRN_CLUSTER", "64"))
-            kcl = build_cluster_bvh(
-                lo_tri[small_idx], hi_tri[small_idx],
-                cluster_size=krn_cluster,
-            )
+            if os.environ.get("PTX_KRN_SAH", "0") == "1":
+                # Binned-SAH clustering (experimental, default off): tighter
+                # boxes by total surface area (-3% on the dragon), but the
+                # extra clusters it emits cost more visits than the bounds
+                # save — measured ~8% SLOWER than the median cut on the
+                # dragon bench (docs/DESIGN_large_scenes.md round-3 notes).
+                kmem_local, kc_lo, kc_hi = build_sah_clusters(
+                    lo_tri[small_idx], hi_tri[small_idx],
+                    cluster_size=krn_cluster,
+                )
+            else:
+                kcl = build_cluster_bvh(
+                    lo_tri[small_idx], hi_tri[small_idx],
+                    cluster_size=krn_cluster,
+                )
+                kmem_local, kc_lo, kc_hi = kcl.members, kcl.c_lo, kcl.c_hi
             kmembers = np.where(
-                kcl.members >= 0, small_idx[np.maximum(kcl.members, 0)], -1
+                kmem_local >= 0, small_idx[np.maximum(kmem_local, 0)], -1
             ).astype(np.int32)
             kidx = np.maximum(kmembers, 0)
             (krn_records, krn_cl_bounds, krn_sup_bounds,
@@ -591,9 +609,15 @@ class SceneBuilder:
                 tri_v[0][kidx], tri_v[1][kidx], tri_v[2][kidx],
                 tri_cull[kidx] & (kmembers >= 0), kmembers,
                 tri_n[0][kidx], tri_n[1][kidx], tri_n[2][kidx],
-                tri_mat[kidx], kcl.c_lo, kcl.c_hi,
+                tri_mat[kidx], kc_lo, kc_hi,
             )
             krn_cluster_size = krn_cluster
+            kvalid = kmembers >= 0
+            kculls = tri_cull[kidx][kvalid]
+            if not kculls.any():
+                krn_cull_mode = 0
+            elif kculls.all():
+                krn_cull_mode = 1
             if n_big <= 128:
                 bidx = np.maximum(big_prim, 0)
                 krn_big_pair = pack_pair_record_np(
@@ -675,4 +699,5 @@ class SceneBuilder:
             emissive_in_dense=bool(emissive_in_dense),
             cl_depth=int(cl_depth),
             cluster_size=int(cluster_size),
+            krn_cull_mode=int(krn_cull_mode),
         )
