@@ -56,7 +56,8 @@ from .pallas_megakernel import (
     _pack_tables,
 )
 
-_MORTON_BITS = 4  # per axis: 12-bit cell + 3-bit octant key
+# Entry-point Morton resolution (bits per axis): 3*bits + 3-bit octant key.
+_MORTON_BITS = int(os.environ.get("PTX_SORT_MORTON_BITS", "4"))
 
 # Skip the per-bounce re-sort when fewer rays than this are alive: the live
 # set is already packed at the head (dead rays sort to the tail and STAY
@@ -133,7 +134,10 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
         m = m | (((ix >> b) & 1) << (3 * b + 2))
         m = m | (((iy >> b) & 1) << (3 * b + 1))
         m = m | (((iz >> b) & 1) << (3 * b))
-    key = jnp.where(enters, (m << 3) | octant, (1 << 16) | octant)
+    key = jnp.where(
+        enters, (m << 3) | octant,
+        (1 << (3 * _MORTON_BITS + 3)) | octant,
+    )
     return jnp.where(alive_f > 0.5, key, jnp.int32(2 ** 30))
 
 

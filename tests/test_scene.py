@@ -314,3 +314,32 @@ def test_cluster_cut_matches_sequential_reference():
                 assert np.array_equal(cl.members, m_r), (n, cs, native)
                 assert np.array_equal(cl.c_lo, lo_r), (n, cs, native)
                 assert np.array_equal(cl.c_hi, hi_r), (n, cs, native)
+
+
+def test_sah_clusters_cover_and_bound():
+    """build_sah_clusters: exact coverage, size cap, tight member bounds
+    (accel/cluster.py — the experimental PTX_KRN_SAH=1 clustering)."""
+    from cpupathtrace_tpu.accel.cluster import build_sah_clusters
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    c = rng.normal(size=(n, 3)).astype(np.float32)
+    h = np.abs(rng.normal(size=(n, 3))).astype(np.float32) * 0.02
+    lo, hi = c - h, c + h
+    m, c_lo, c_hi = build_sah_clusters(lo, hi, cluster_size=64)
+    ids = m[m >= 0]
+    assert np.sort(ids).tolist() == list(range(n))
+    assert ((m >= 0).sum(axis=1) <= 64).all()
+    v = m >= 0
+    mi = np.maximum(m, 0)
+    np.testing.assert_allclose(
+        c_lo, np.where(v[..., None], lo[mi], np.inf).min(axis=1)
+    )
+    np.testing.assert_allclose(
+        c_hi, np.where(v[..., None], hi[mi], -np.inf).max(axis=1)
+    )
+    # Degenerate centroids (identical boxes) still split by median.
+    m2, _, _ = build_sah_clusters(
+        np.zeros((300, 3), np.float32), np.ones((300, 3), np.float32), 64
+    )
+    assert np.sort(m2[m2 >= 0]).tolist() == list(range(300))
