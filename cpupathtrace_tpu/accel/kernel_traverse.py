@@ -553,7 +553,7 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
 # ascending order of their block-min slab entry, so near geometry resolves
 # first and the per-descend bound recheck prunes far groups. Linear split
 # of the [min, max] entry range — cheap and good enough for pruning.
-_N_BUCKETS = 4
+_N_BUCKETS = int(os.environ.get("PTX_KRN_BUCKETS", "4"))
 
 # Record-DMA ring depth: Q-1 fetches in flight while the oldest pending
 # record is pair-tested (~2 us each), hiding HBM latency across descend
@@ -574,7 +574,7 @@ def clb_fits_vmem(clb) -> bool:
     return int(np.prod(clb.shape)) * 4 <= _CLB_VMEM_BYTES
 # SMEM scratch slots for packed masks: _N_BUCKETS * ceil(512/23) sup masks
 # + ceil(GROUP/23) cluster masks, rounded up.
-MASK_SLOTS = 96
+MASK_SLOTS = 128
 
 
 def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,

@@ -66,9 +66,13 @@ _LANES = 128
 _MAX_TRI = 512
 _MAX_SPH = 64
 _MAX_EM = 256
-# Supercluster SMEM table cap ([S, 8] f32 = 16 KB at 512): 512 * 32
-# clusters * 128 tris = ~2M triangles through the in-kernel traversal.
-_MAX_SUP = 512
+# Supercluster cap: since the hyper tier, per-query fixed work scales with
+# Hp = ceil(S/16) pages (the hyper pair-slab + scr_eh scratch), not S, so
+# the cap mainly bounds VMEM scratch (scr_eh [S/16, em_k*8, 128] f32 —
+# ~4 MB at 4096 sups) and the SMEM bitmask slot budget
+# (kernel_traverse.MASK_SLOTS). 4096 sups * 32 clusters * 64-tri records
+# = ~8M triangles through the in-kernel traversal.
+_MAX_SUP = 4096
 
 # Table row layouts (all f32):
 # tri: v0(0:3) e1(3:6) e2(6:9) cull(9) valid(10) n0(11:14) n1(14:17) n2(17:20)
