@@ -42,13 +42,9 @@ if _order == "pixel":
 elif _order == "morton":
     # Morton-tiled pixel-major: a 1024-ray block covers an 8x8 pixel TILE
     # x 16 samples — the tightest primary frustum per block.
-    px = xg.ravel().astype(np.int64)
-    py = yg.ravel().astype(np.int64)
-    code = np.zeros_like(px)
-    for b in range(8):
-        code |= ((px >> b) & 1) << (2 * b)
-        code |= ((py >> b) & 1) << (2 * b + 1)
-    perm = np.argsort(code)
+    from cpupathtrace_tpu.integrator.film import morton_perm
+
+    perm = morton_perm(xg.ravel(), yg.ravel())
     xs = jnp.repeat(jnp.asarray(x_cam)[perm], SPP)
     ys = jnp.repeat(jnp.asarray(y_cam)[perm], SPP)
 else:

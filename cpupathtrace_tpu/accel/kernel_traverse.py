@@ -553,7 +553,7 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
 # ascending order of their block-min slab entry, so near geometry resolves
 # first and the per-descend bound recheck prunes far groups. Linear split
 # of the [min, max] entry range — cheap and good enough for pruning.
-_N_BUCKETS = int(os.environ.get("PTX_KRN_BUCKETS", "4"))
+_N_BUCKETS = max(1, int(os.environ.get("PTX_KRN_BUCKETS", "4")))  # 1 = off
 
 # Record-DMA ring depth: Q-1 fetches in flight while the oldest pending
 # record is pair-tested (~2 us each), hiding HBM latency across descend
@@ -572,8 +572,10 @@ _CLB_VMEM_BYTES = int(
 def clb_fits_vmem(clb) -> bool:
     """Residency policy for the cluster-bounds table (see _CLB_VMEM_BYTES)."""
     return int(np.prod(clb.shape)) * 4 <= _CLB_VMEM_BYTES
-# SMEM scratch slots for packed masks: _N_BUCKETS * ceil(512/23) sup masks
-# + ceil(GROUP/23) cluster masks, rounded up.
+# SMEM scratch slots for packed masks. The layout (asserted in
+# _scan_pipelined) is n_buckets * ceil(hp8/23) hyper masks + n_sb
+# supercluster-bucket masks + ceil(GROUP/23) cluster masks; at the caps
+# (_MAX_SUP=4096 -> hp8=256, buckets 8) that is 8*12 + 4 + 2 = 102.
 MASK_SLOTS = 128
 
 

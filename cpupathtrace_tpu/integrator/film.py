@@ -330,6 +330,7 @@ def render(
     tile_keys = jax.random.split(key, n_tiles)
 
     order = use_pixel_order(scene)
+    perm_cache: dict = {}  # tile height -> device perm (tiles share shapes)
     for i in range(n_tiles):
         y0 = i * rows_per_tile
         rows = min(rows_per_tile, h - y0)  # exact tail tile: no overlap,
@@ -339,9 +340,12 @@ def render(
         xg, yg = np.meshgrid(px, py)
         perm = None
         if order:
-            perm = jnp.asarray(
-                morton_perm(xg.ravel(), yg.ravel() - y0), jnp.int32
-            )
+            perm = perm_cache.get(rows)
+            if perm is None:
+                perm = jnp.asarray(
+                    morton_perm(xg.ravel(), yg.ravel() - y0), jnp.int32
+                )
+                perm_cache[rows] = perm
         x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
         tile = render_tile(
             scene, camera, options,

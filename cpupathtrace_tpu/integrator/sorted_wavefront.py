@@ -57,7 +57,9 @@ from .pallas_megakernel import (
 )
 
 # Entry-point Morton resolution (bits per axis): 3*bits + 3-bit octant key.
-_MORTON_BITS = int(os.environ.get("PTX_SORT_MORTON_BITS", "4"))
+# Capped at 8 so the miss sentinel (1 << (3*bits + 3)) and the dead-ray
+# key (2^30) stay distinct i32 values above every entering key.
+_MORTON_BITS = min(8, max(1, int(os.environ.get("PTX_SORT_MORTON_BITS", "4"))))
 
 # Skip the per-bounce re-sort when fewer rays than this are alive: the live
 # set is already packed at the head (dead rays sort to the tail and STAY

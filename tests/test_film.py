@@ -131,8 +131,7 @@ def test_render_chunk_pixel_order_positional_identity():
     m = b.add_material(diffuse=(1, 1, 1, 1))
     b.add_sphere((0.0, 0.0, 2.0), 0.7, m)
     sph = b.build()
-    opts0 = RenderOptions(8, 8, 8, 8, max_depth=2, pixel_jitter=False) \
-        if hasattr(RenderOptions, "pixel_jitter") else opts
+    opts0 = opts
     _, cc0 = render_chunk(sph, cam, opts0, x, y, jax.random.PRNGKey(5), 8)
     _, cc1 = render_chunk(
         sph, cam, opts0, x, y, jax.random.PRNGKey(5), 8, pixel_order=perm

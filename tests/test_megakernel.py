@@ -130,6 +130,7 @@ def test_sorted_wavefront():
         transparent (cross-record exact-t ties are the only theoretical
         exception and do not occur on this scene)."""
     from cpupathtrace_tpu.camera.camera import shoot_rays
+    from cpupathtrace_tpu.integrator import sorted_wavefront
     from cpupathtrace_tpu.integrator.film import pixel_camera_coords
     from cpupathtrace_tpu.integrator.sorted_wavefront import (
         trace_megakernel_sorted,
@@ -153,7 +154,15 @@ def test_sorted_wavefront():
         1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
     )
     s_m, c_m = trace(scene, rays, opts, jax.random.PRNGKey(4))
-    s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
+    # Force the per-bounce sort ON: 512 test rays sit below the production
+    # _SORT_MIN_ALIVE threshold, which would silently skip the fused-sort
+    # glue this test exists to cover.
+    saved = sorted_wavefront._SORT_MIN_ALIVE
+    sorted_wavefront._SORT_MIN_ALIVE = 0
+    try:
+        s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
+    finally:
+        sorted_wavefront._SORT_MIN_ALIVE = saved
     s_u, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
 
     assert np.array_equal(np.asarray(c_m), np.asarray(c_s))
