@@ -262,6 +262,10 @@ _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
 # (round 3): blocks are row-coherent — the conds almost never skip and cost
 # ~3% of the frame, so they default OFF.
 _REC_CONDS = os.environ.get("PTX_REC_CONDS", "0") == "1"
+# Shadow (any-hit) record tests keep their own knob: NEE relevance is
+# sparse per row (specular hits opt out with t_lim = 0), so row conds can
+# pay there even when the nearest pass is row-coherent.
+_REC_CONDS_SHADOW = os.environ.get("PTX_REC_CONDS_SHADOW", "0") == "1"
 # Comma-separated kernel-body ablations for perf bisection (profiling only):
 # "nee" drops next-event estimation, "bigpair" drops the big-partition pair
 # tests, "prop" replaces BSDF sampling with straight-through propagation,
@@ -484,7 +488,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
-                        visit_ref=vis_ref, rec_conds=_REC_CONDS,
+                        visit_ref=vis_ref, rec_conds=_REC_CONDS_SHADOW,
                         clb_resident=clb_vmem, cull_mode=cull_mode,
                     )
                     visible = visible & ~occ
@@ -630,7 +634,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
                                       jnp.float32),
                     n_super=n_super,
-                    visit_ref=vis_ref, rec_conds=_REC_CONDS,
+                    visit_ref=vis_ref, rec_conds=_REC_CONDS_SHADOW,
                     clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
                 r0 = shp[0]
