@@ -583,7 +583,10 @@ class SceneBuilder:
 
             # 64-triangle records halve the per-visit VPU pair-test cost;
             # the extra cluster count rides the (cheap) bitmask tiers.
-            krn_cluster = int(os.environ.get("PTX_KRN_CLUSTER", "64"))
+            # 56 tris = 7 sublane tiles per record: one tile less pair
+            # math per visit than 64 at nearly unchanged visit count —
+            # measured best on the dragon bench (docs/DESIGN_large_scenes).
+            krn_cluster = int(os.environ.get("PTX_KRN_CLUSTER", "56"))
             if os.environ.get("PTX_KRN_SAH", "0") == "1":
                 # Binned-SAH clustering (experimental, default off): tighter
                 # boxes by total surface area (-3% on the dragon), but the
