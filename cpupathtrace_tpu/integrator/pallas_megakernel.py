@@ -289,7 +289,7 @@ N_STATE = len(STATE_FIELDS)
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                      epsilon, n_super=0, debug_visits=False,
                      single_bounce=False, dense_pair=False,
-                     clb_vmem=False, cull_mode=-1):
+                     clb_vmem=False, cull_mode=-1, big_cull_mode=-1):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes four extra inputs (supercluster VMEM bounds, cluster
     bounds pages, cluster records, big-partition pair record) and four
@@ -370,7 +370,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     bt, bp, nx, ny, nz, mid = pair_test_nearest(
                         bigp_col, ox, oy, oz, dx, dy, dz, mxr, myr, mzr,
                         (bt, bp, nx, ny, nz, mid), want_normal_mat=True,
-                        use_conds=False,
+                        use_conds=False, cull_mode=big_cull_mode,
                     )
             else:
                 bt, bp, nx, ny, nz, mid = _intersect_tables(
@@ -456,7 +456,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         smx, smy, smz,
                         jnp.maximum(dist - epsilon, 0.0),
                         jnp.zeros(shp, jnp.float32),
-                        use_conds=False,
+                        use_conds=False, cull_mode=big_cull_mode,
                     )
                     visible = visible & ~(occ_big > 0.5)
                 relevant = hit & lvalid & (~is_spec) & (lpd > 0.0)
@@ -968,12 +968,12 @@ def _pack_tables(scene: SceneData):
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "max_depth", "epsilon", "n_super",
                      "block_rows", "debug_visits", "dense_pair",
-                     "cull_mode"),
+                     "cull_mode", "big_cull_mode"),
 )
 def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
                em_k, max_depth, epsilon, n_super=0,
                block_rows=_BLOCK_ROWS, debug_visits=False,
-               dense_pair=False, cull_mode=-1):
+               dense_pair=False, cull_mode=-1, big_cull_mode=-1):
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = comps[0].shape[0]
     grid = (rows // block_rows,)
@@ -989,6 +989,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth, epsilon,
         n_super=n_super, debug_visits=debug_visits, dense_pair=dense_pair,
         clb_vmem=clb_vmem, cull_mode=cull_mode,
+        big_cull_mode=big_cull_mode,
     )
     table_specs = [
         smem((1,)),
@@ -1132,6 +1133,7 @@ def trace_megakernel(
         n_super=n_super, block_rows=block_rows,
         debug_visits=bool(debug_visits and n_super),
         dense_pair=dense_pair, cull_mode=int(scene.krn_cull_mode),
+        big_cull_mode=int(scene.krn_big_cull_mode),
     )
     out_r, out_g, out_b, coll = outs[:4]
     coll = coll.reshape(-1)[:r] > 0.5

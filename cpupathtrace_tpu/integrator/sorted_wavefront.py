@@ -147,11 +147,11 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "epsilon", "n_super", "block_rows", "dense_pair",
-                     "cull_mode"),
+                     "cull_mode", "big_cull_mode"),
 )
 def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
                  n_em, em_k, epsilon, n_super, block_rows,
-                 dense_pair=False, cull_mode=-1):
+                 dense_pair=False, cull_mode=-1, big_cull_mode=-1):
     """One bounce of the megakernel body over [rows, 128] state blocks."""
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = state[1].shape[0]
@@ -167,6 +167,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
         n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth=0,
         epsilon=epsilon, n_super=n_super, single_bounce=True,
         dense_pair=dense_pair, clb_vmem=clb_vmem, cull_mode=cull_mode,
+        big_cull_mode=big_cull_mode,
     )
     table_specs = [
         smem((2,)),
@@ -277,6 +278,7 @@ def trace_megakernel_sorted(
         epsilon=float(options.epsilon), n_super=n_super,
         block_rows=block_rows, dense_pair=dense_pair,
         cull_mode=int(scene.krn_cull_mode),
+        big_cull_mode=int(scene.krn_big_cull_mode),
     )
     max_depth = int(options.max_depth)
     lo = scene.root_lo

@@ -57,6 +57,7 @@ BSDF_MIRROR = 2
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
         "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
         "emissive_in_dense", "gp_axis", "krn_cull_mode",
+        "krn_big_cull_mode",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -179,6 +180,8 @@ class SceneData:
     # the megakernel drop the per-pair cull column from the record test
     # (accel/kernel_traverse.py:_pair_quantities).
     krn_cull_mode: int = -1
+    # Same for the always-tested big-partition / dense pair record.
+    krn_big_cull_mode: int = -1
 
     @property
     def use_bvh(self) -> bool:
@@ -569,6 +572,7 @@ class SceneBuilder:
         # supercluster/cluster-bounds/record tiers (accel/kernel_traverse.py).
         krn_cluster_size = 0
         krn_cull_mode = -1
+        krn_big_cull_mode = -1
         krn_big_pair = np.zeros((1, 1), f32)
         # The pair-record table costs ~512 B per small triangle; beyond the
         # budget (default ~2.1M triangles = ~1.1 GB of records) skip the
@@ -628,6 +632,11 @@ class SceneBuilder:
                     tri_n[0][bidx], tri_n[1][bidx], tri_n[2][bidx],
                     tri_mat[bidx],
                 )
+                bculls = big_cull[big_prim >= 0]
+                if not bculls.any():
+                    krn_big_cull_mode = 0
+                elif bculls.all():
+                    krn_big_cull_mode = 1
         else:
             krn_records = np.zeros((1, 128, 128), f32)
             krn_cl_bounds = np.zeros((1, 32, 128), f32)
@@ -648,6 +657,11 @@ class SceneBuilder:
                     tri_cull & (prim >= 0), prim,
                     tri_n[0], tri_n[1], tri_n[2], tri_mat,
                 )
+                dculls = tri_cull[:n_tri]
+                if not dculls.any():
+                    krn_big_cull_mode = 0
+                elif dculls.all():
+                    krn_big_cull_mode = 1
 
         if accel == "binned":
             emissive_in_dense = all(
@@ -703,4 +717,5 @@ class SceneBuilder:
             cl_depth=int(cl_depth),
             cluster_size=int(cluster_size),
             krn_cull_mode=int(krn_cull_mode),
+            krn_big_cull_mode=int(krn_big_cull_mode),
         )
