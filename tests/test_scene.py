@@ -343,3 +343,23 @@ def test_sah_clusters_cover_and_bound():
         np.zeros((300, 3), np.float32), np.ones((300, 3), np.float32), 64
     )
     assert np.sort(m2[m2 >= 0]).tolist() == list(range(300))
+
+
+def test_krn_cull_modes_static():
+    """krn_cull_mode / krn_big_cull_mode reflect partition cull uniformity
+    (scene.py build; consumed as static pair-test specializations)."""
+    from tests.scenes_util import inward_box_scene
+
+    s = inward_box_scene()  # small dense scene, uniform cull
+    culls = np.asarray(s.tri_cull[: s.n_tri])
+    expect = 0 if not culls.any() else (1 if culls.all() else -1)
+    assert s.krn_big_cull_mode == expect
+
+    from cpupathtrace_tpu.models.scenes import bench_dragon_scene
+
+    d = bench_dragon_scene(dragon_tris=1200, accel="binned")
+    # The stand-in dragon is loaded cull_backface=False -> cluster records
+    # are cull-free; the big partition is genuinely mixed (uncull walls +
+    # culled emissive ceiling tris).
+    assert d.krn_cull_mode == 0
+    assert d.krn_big_cull_mode == -1
