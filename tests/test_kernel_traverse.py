@@ -203,3 +203,43 @@ def test_multi_page_hyper_walk():
     rel = np.abs(t_k[both] - t_o[both]) / np.maximum(t_o[both], 1e-9)
     assert np.quantile(rel, 0.99) < 1e-4
     assert (p_k[both] == p_o[both]).mean() > 0.99
+
+
+def test_nearest_matches_oracle_mixed_cull():
+    """Mixed per-triangle cull flags through the traversal (the kernel's
+    cull_mode=-1 column path, and the scene metadata that reports it)."""
+    from cpupathtrace_tpu.scene.scene import SceneBuilder
+    from cpupathtrace_tpu.scene.geometry import HostTriangle, make_plane
+
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    white = b.add_material(diffuse=(1, 1, 1, 1))
+    # A big partition so the binned split is non-degenerate.
+    b.add_triangles(make_plane((30, -1.2, -30), (-30, -1.2, 30), True), white)
+    tris = []
+    for i in range(400):
+        c = rng.uniform(-0.8, 0.8, 3)
+        v = c + rng.normal(scale=0.15, size=(3, 3))
+        tris.append(HostTriangle(v[0], v[1], v[2], cull_backface=bool(i % 2)))
+    b.add_triangles(tris, white)
+    scene = b.build(accel="binned")
+    assert scene.krn_cull_mode == -1
+
+    n = 1024
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_k, p_k = map(
+        np.asarray, cluster_intersect_kernel(scene, o, d, interpret=True)
+    )
+    t_o, p_o = _oracle(scene, o, d, np.full(n, np.inf))
+    hit_k = p_k >= 0
+    hit_o = p_o >= 0
+    assert (hit_k == hit_o).mean() > 0.995
+    both = hit_k & hit_o
+    assert both.sum() > 150
+    rel = np.abs(t_k[both] - t_o[both]) / np.maximum(t_o[both], 1e-9)
+    assert np.quantile(rel, 0.99) < 1e-4
+    # Culled triangles must actually cull: rays hitting a culled backface
+    # in the oracle never appear as kernel-only hits (checked implicitly by
+    # mask agreement above — the oracle applies the same cull rule).
