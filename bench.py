@@ -149,7 +149,18 @@ def run_verify():
     log(f"# verify binned-vs-sweep on-chip: {int(same.sum())}/{n} exact")
     ok &= bool(same.all())
 
-    # --- Megakernel vs jnp wavefront: statistical parity on the box scene.
+    # --- Megakernel / sorted driver vs jnp wavefront: statistical parity
+    # on the box scene. Single-run means of this estimator are HEAVY
+    # TAILED (a path surviving k extra roulettes carries a 10^k weight
+    # with 10^-k probability — reference semantics, worker.cpp:67-110):
+    # measured per-run sd is up to ~14% of the mean for the threefry
+    # wavefront. Compare MEDIANS over 8 seeds per tracer, which bounds the
+    # comparison noise to a few percent while still catching the 9%-class
+    # bias a weak PRNG seeding once produced here.
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+
     box = bench_box_scene()
     opts = RenderOptions(64, 64, 64, 64, epsilon=1e-3, max_depth=12)
     m = 65536
@@ -160,36 +171,35 @@ def run_verify():
     dg = np.stack([xs, ys, np.ones(m)], -1).astype(np.float32)
     dg /= np.linalg.norm(dg, axis=1, keepdims=True)
     rays = Rays(origin=jnp.asarray(og), direction=jnp.asarray(dg))
-    s_m, _ = jax.jit(
-        lambda r: trace_megakernel(box, r, opts, 1234)
-    )(rays)
-    s_j, _ = jax.jit(
-        lambda r: trace(box, r, opts, jax.random.PRNGKey(5))
-    )(rays)
-    mean_m = float(np.asarray(s_m)[:, :3].mean())
-    mean_j = float(np.asarray(s_j)[:, :3].mean())
-    rel = abs(mean_m - mean_j) / max(mean_j, 1e-9)
-    log(f"# verify megakernel-vs-wavefront on-chip: mean {mean_m:.5f} vs "
-        f"{mean_j:.5f} (rel {rel:.3f})")
-    ok &= rel < 0.05
 
-    # --- Sorted-wavefront driver vs the while-loop megakernel, on-chip:
-    # independent RNG streams, so parity is statistical; coverage (alpha)
-    # of a closed box agrees exactly.
-    from cpupathtrace_tpu.integrator.sorted_wavefront import (
-        trace_megakernel_sorted,
-    )
-
-    s_s, _ = jax.jit(
-        lambda r: trace_megakernel_sorted(box, r, opts, 99)
-    )(rays)
-    s_s = np.asarray(s_s)
-    mean_s = float(s_s[:, :3].mean())
-    rel_s = abs(mean_s - mean_m) / max(mean_m, 1e-9)
-    log(f"# verify sorted-vs-megakernel on-chip: mean {mean_s:.5f} vs "
-        f"{mean_m:.5f} (rel {rel_s:.3f})")
-    ok &= rel_s < 0.05
-    ok &= bool((s_s[:, 3] == np.asarray(s_m)[:, 3]).all())
+    f_m = jax.jit(lambda r, sd: trace_megakernel(box, r, opts, sd)[0])
+    f_s = jax.jit(lambda r, sd: trace_megakernel_sorted(box, r, opts, sd)[0])
+    f_w = jax.jit(lambda r, k: trace(box, r, opts, k)[0])
+    n_seeds = 8
+    med_m = float(np.median([
+        np.asarray(f_m(rays, jnp.int32(100 + 7 * i)))[:, :3].mean()
+        for i in range(n_seeds)
+    ]))
+    med_s = float(np.median([
+        np.asarray(f_s(rays, jnp.int32(500 + 13 * i)))[:, :3].mean()
+        for i in range(n_seeds)
+    ]))
+    med_w = float(np.median([
+        np.asarray(f_w(rays, jax.random.PRNGKey(i)))[:, :3].mean()
+        for i in range(n_seeds)
+    ]))
+    rel = abs(med_m - med_w) / max(med_w, 1e-9)
+    log(f"# verify megakernel-vs-wavefront on-chip: median {med_m:.5f} vs "
+        f"{med_w:.5f} (rel {rel:.3f}, {n_seeds} seeds)")
+    ok &= rel < 0.07
+    rel_s = abs(med_s - med_m) / max(med_m, 1e-9)
+    log(f"# verify sorted-vs-megakernel on-chip: median {med_s:.5f} vs "
+        f"{med_m:.5f} (rel {rel_s:.3f})")
+    ok &= rel_s < 0.07
+    # Coverage of the closed box is exact for every tracer and seed.
+    s_m = np.asarray(f_m(rays, jnp.int32(1234)))
+    s_s = np.asarray(f_s(rays, jnp.int32(1234)))
+    ok &= bool((s_s[:, 3] == s_m[:, 3]).all())
     return bool(ok)
 
 

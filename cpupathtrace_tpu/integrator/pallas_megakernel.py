@@ -103,9 +103,23 @@ def _seed_rng(seed, shape):
         ^ (row * jnp.uint32(40503) + jnp.uint32(0x9E3779B9))
         ^ (lane * jnp.uint32(2246822519) + jnp.uint32(0x85EBCA6B))
     )
-    # Mix once and forbid the all-zero state.
+    return _fmix32(s)
+
+
+def _fmix32(s):
+    """murmur3 finalizer + forbid the all-zero state.
+
+    A single mix round here left structure in the early draws of nearby
+    (row, lane) seeds; with only ~50 draws per path, the structured
+    roulette draws SHIFT the realized survival rate away from the
+    roulette pdf the estimator divides by — measured as a 9-10% deficit
+    in the depth>4 contribution on the box verify workload. Full
+    avalanche restores agreement with the threefry wavefront."""
     s = s ^ (s >> jnp.uint32(16))
-    s = s * jnp.uint32(2246822519)
+    s = s * jnp.uint32(0x85EBCA6B)
+    s = s ^ (s >> jnp.uint32(13))
+    s = s * jnp.uint32(0xC2B2AE35)
+    s = s ^ (s >> jnp.uint32(16))
     return s | jnp.uint32(1)
 
 

@@ -71,6 +71,8 @@ _SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 14)))
 def _seed_rng_flat(seed, idx):
     """Per-ray xorshift32 state from the ORIGINAL ray index (sort-stable);
     same mixing family as pallas_megakernel._seed_rng."""
+    from .pallas_megakernel import _fmix32
+
     idx = idx.astype(jnp.uint32)
     s = (
         jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(2654435761)
@@ -78,9 +80,7 @@ def _seed_rng_flat(seed, idx):
         ^ ((idx >> jnp.uint32(7)) * jnp.uint32(2246822519)
            + jnp.uint32(0x85EBCA6B))
     )
-    s = s ^ (s >> jnp.uint32(16))
-    s = s * jnp.uint32(2246822519)
-    return s | jnp.uint32(1)
+    return _fmix32(s)
 
 
 def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
