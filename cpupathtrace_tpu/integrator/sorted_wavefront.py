@@ -52,6 +52,7 @@ from .pallas_megakernel import (
     N_STATE,
     _KRN_BLOCK_ROWS,
     _LANES,
+    _fmix32,
     _make_megakernel,
     _pack_tables,
 )
@@ -71,8 +72,6 @@ _SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 14)))
 def _seed_rng_flat(seed, idx):
     """Per-ray xorshift32 state from the ORIGINAL ray index (sort-stable);
     same mixing family as pallas_megakernel._seed_rng."""
-    from .pallas_megakernel import _fmix32
-
     idx = idx.astype(jnp.uint32)
     s = (
         jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(2654435761)

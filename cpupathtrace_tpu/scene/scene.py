@@ -32,6 +32,19 @@ BSDF_GLASS = 1
 BSDF_MIRROR = 2
 
 
+def _cull_uniformity(culls) -> int:
+    """Static cull classification for pair-record specialization:
+    0 = none cull, 1 = all cull, -1 = mixed (see
+    accel/kernel_traverse.py:_pair_quantities)."""
+    culls = np.asarray(culls, bool)
+    if not culls.any():
+        return 0
+    if culls.all():
+        return 1
+    return -1
+
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -619,12 +632,7 @@ class SceneBuilder:
                 tri_mat[kidx], kc_lo, kc_hi,
             )
             krn_cluster_size = krn_cluster
-            kvalid = kmembers >= 0
-            kculls = tri_cull[kidx][kvalid]
-            if not kculls.any():
-                krn_cull_mode = 0
-            elif kculls.all():
-                krn_cull_mode = 1
+            krn_cull_mode = _cull_uniformity(tri_cull[kidx][kmembers >= 0])
             if n_big <= 128:
                 bidx = np.maximum(big_prim, 0)
                 krn_big_pair = pack_pair_record_np(
@@ -632,11 +640,7 @@ class SceneBuilder:
                     tri_n[0][bidx], tri_n[1][bidx], tri_n[2][bidx],
                     tri_mat[bidx],
                 )
-                bculls = big_cull[big_prim >= 0]
-                if not bculls.any():
-                    krn_big_cull_mode = 0
-                elif bculls.all():
-                    krn_big_cull_mode = 1
+                krn_big_cull_mode = _cull_uniformity(big_cull[big_prim >= 0])
         else:
             krn_records = np.zeros((1, 128, 128), f32)
             krn_cl_bounds = np.zeros((1, 32, 128), f32)
@@ -657,11 +661,7 @@ class SceneBuilder:
                     tri_cull & (prim >= 0), prim,
                     tri_n[0], tri_n[1], tri_n[2], tri_mat,
                 )
-                dculls = tri_cull[:n_tri]
-                if not dculls.any():
-                    krn_big_cull_mode = 0
-                elif dculls.all():
-                    krn_big_cull_mode = 1
+                krn_big_cull_mode = _cull_uniformity(tri_cull[:n_tri])
 
         if accel == "binned":
             emissive_in_dense = all(

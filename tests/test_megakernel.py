@@ -153,7 +153,6 @@ def test_sorted_wavefront():
         jnp.tile(jnp.asarray(yc), spp),
         1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
     )
-    s_m, c_m = trace(scene, rays, opts, jax.random.PRNGKey(4))
     # Force the per-bounce sort ON: 512 test rays sit below the production
     # _SORT_MIN_ALIVE threshold, which would silently skip the fused-sort
     # glue this test exists to cover.
@@ -161,19 +160,31 @@ def test_sorted_wavefront():
     sorted_wavefront._SORT_MIN_ALIVE = 0
     try:
         s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
+        sorted_means = [float(np.asarray(s_s)[:, :3].mean())] + [
+            float(np.asarray(
+                trace_megakernel_sorted(scene, rays, opts, sd, sort=True)[0]
+            )[:, :3].mean())
+            for sd in (77, 901)
+        ]
     finally:
         sorted_wavefront._SORT_MIN_ALIVE = saved
     s_u, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
+    wf_means = [
+        float(np.asarray(
+            trace(scene, rays, opts, jax.random.PRNGKey(k))[0]
+        )[:, :3].mean())
+        for k in (4, 5, 6)
+    ]
+    _, c_m = trace(scene, rays, opts, jax.random.PRNGKey(4))
 
     assert np.array_equal(np.asarray(c_m), np.asarray(c_s))
-    m1 = float(np.asarray(s_m)[:, :3].mean())
-    m2 = float(np.asarray(s_s)[:, :3].mean())
-    # 512-ray means of a glass scene are heavy-tailed (~15% sd): this is a
-    # smoke bound; the powered statistical check is bench.py --verify's
-    # 8-seed median comparison, and the decisive invariants here are the
-    # exact coverage equality above and the bit-exact sort-invariance
-    # below.
-    assert abs(m1 - m2) / max(m1, 1e-9) < 0.6, (m1, m2)
+    m1 = float(np.median(wf_means))
+    m2 = float(np.median(sorted_means))
+    # 512-ray means of a glass scene are heavy-tailed (~15% sd): medians
+    # of 3 independent seeds per tracer bound the comparison noise enough
+    # for a gross-divergence catch; the powered statistical check is
+    # bench.py --verify's 8-seed median comparison on hardware.
+    assert abs(m1 - m2) / max(m1, 1e-9) < 0.35, (wf_means, sorted_means)
     np.testing.assert_allclose(
         np.asarray(s_s), np.asarray(s_u), rtol=1e-5, atol=1e-7
     )
