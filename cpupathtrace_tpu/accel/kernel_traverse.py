@@ -555,7 +555,9 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
 # ascending order of their block-min slab entry, so near geometry resolves
 # first and the per-descend bound recheck prunes far groups. Linear split
 # of the [min, max] entry range — cheap and good enough for pruning.
-_N_BUCKETS = max(1, int(os.environ.get("PTX_KRN_BUCKETS", "4")))  # 1 = off
+# Clamped to 8: the MASK_SLOTS scratch layout budgets for at most 8 buckets
+# (see the arithmetic above MASK_SLOTS), and >4 measured worse anyway.
+_N_BUCKETS = min(8, max(1, int(os.environ.get("PTX_KRN_BUCKETS", "4"))))  # 1 = off
 
 # Record-DMA ring depth: Q-1 fetches in flight while the oldest pending
 # record is pair-tested (~2 us each), hiding HBM latency across descend
@@ -577,7 +579,7 @@ def clb_fits_vmem(clb) -> bool:
 # SMEM scratch slots for packed masks. The layout (asserted in
 # _scan_pipelined) is n_buckets * ceil(hp8/23) hyper masks + n_sb
 # supercluster-bucket masks + ceil(GROUP/23) cluster masks; at the caps
-# (_MAX_SUP=4096 -> hp8=256, buckets 8) that is 8*12 + 4 + 2 = 102.
+# (_MAX_SUP=4096 -> hp8=256, buckets 8, n_sb 8) that is 8*12 + 8 + 2 = 106.
 MASK_SLOTS = 128
 
 

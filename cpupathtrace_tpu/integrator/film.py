@@ -103,6 +103,9 @@ def morton_perm(px: np.ndarray, py: np.ndarray) -> np.ndarray:
     dragon benchmark than row-major order (docs/DESIGN_large_scenes.md)."""
     px = np.asarray(px, np.int64)
     py = np.asarray(py, np.int64)
+    # 16 interleaved bits per axis: coords >= 2^16 would silently alias.
+    if px.size and (px.max() >= 1 << 16 or py.max() >= 1 << 16):
+        raise ValueError("morton_perm supports pixel coordinates < 65536")
     code = np.zeros_like(px)
     for b in range(16):
         code |= ((px >> b) & 1) << (2 * b)

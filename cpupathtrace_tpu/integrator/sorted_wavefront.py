@@ -322,7 +322,9 @@ def trace_megakernel_sorted(
         # Tail bounces carry few live rays (sorted to the head, whole
         # blocks dead): re-sorting the full array buys nothing there, so
         # skip the sort once the live population is small.
-        n_alive = jnp.sum(st[17])
+        # Integer sum: an f32 accumulation loses exactness above ~2^24
+        # rays per chunk, blurring the threshold comparison.
+        n_alive = jnp.sum((st[17] > 0.5).astype(jnp.int32))
         out = jax.lax.cond(
             n_alive >= _SORT_MIN_ALIVE, do_sort, lambda ops: ops,
             (key,) + st + (idx,),

@@ -117,7 +117,7 @@ def test_megakernel_specular_parity():
 
 
 @pytest.mark.slow
-def test_sorted_wavefront():
+def test_sorted_wavefront(monkeypatch):
     """The sorted-wavefront driver (per-bounce coherence sort + single
     -bounce step kernel) in one pass:
       * exact coverage + statistical radiance vs the jnp wavefront (the
@@ -156,18 +156,15 @@ def test_sorted_wavefront():
     # Force the per-bounce sort ON: 512 test rays sit below the production
     # _SORT_MIN_ALIVE threshold, which would silently skip the fused-sort
     # glue this test exists to cover.
-    saved = sorted_wavefront._SORT_MIN_ALIVE
-    sorted_wavefront._SORT_MIN_ALIVE = 0
-    try:
-        s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
-        sorted_means = [float(np.asarray(s_s)[:, :3].mean())] + [
-            float(np.asarray(
-                trace_megakernel_sorted(scene, rays, opts, sd, sort=True)[0]
-            )[:, :3].mean())
-            for sd in (77, 901)
-        ]
-    finally:
-        sorted_wavefront._SORT_MIN_ALIVE = saved
+    monkeypatch.setattr(sorted_wavefront, "_SORT_MIN_ALIVE", 0)
+    s_s, c_s = trace_megakernel_sorted(scene, rays, opts, 1234, sort=True)
+    sorted_means = [float(np.asarray(s_s)[:, :3].mean())] + [
+        float(np.asarray(
+            trace_megakernel_sorted(scene, rays, opts, sd, sort=True)[0]
+        )[:, :3].mean())
+        for sd in (77, 901)
+    ]
+    monkeypatch.undo()
     s_u, _ = trace_megakernel_sorted(scene, rays, opts, 1234, sort=False)
     wf_means = [
         float(np.asarray(
