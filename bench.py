@@ -4,22 +4,30 @@ workloads on one TPU chip.
 Replicates benchmark/main.cpp:34-57 (closed 2x2x2 box, 12 wall tris + 2
 emissive ceiling tris, camera at (0,0,-3) aspect -1, 128x128 @ 256 spp) and
 benchmark/main.cpp:59-105 (same box + the dragon mesh as glass IOR 1.5 —
-the upstream asset is a missing LFS blob, so the 200k-triangle procedural
-stand-in from models/scenes.py is used, identically in the C++ baseline
-measurement). Throughput uses the reference's items-processed convention:
+the upstream asset is a missing LFS blob, so a procedural stand-in from
+models/scenes.py is used, identically in the C++ baseline measurements).
+Two dragon scales: the 200k-triangle stand-in and the FULL 7.2M-triangle
+scale of the real xyzrgb_dragon asset (renderSceneDragonBoxFull).
+Throughput uses the reference's items-processed convention:
 width * height * spp primary samples per second (benchmark/main.cpp:30).
 
 Baselines (vs_baseline denominators), measured on this machine's 4-core CPU
-with the reference compiled -O3 (BASELINE.md):
-  * renderSceneBox 128x128 @ 256 spp:        0.883 Mrays/s
-  * renderSceneDragonBox 128x128 @ 16 spp:   0.308 Mrays/s (200k stand-in)
+with the reference compiled -O3 (BASELINE.md; full-scale measured via
+benchmarks/ref_dragon_bench.cpp on the identical synthetic mesh):
+  * renderSceneBox 128x128 @ 256 spp:            0.883 Mrays/s
+  * renderSceneDragonBox 128x128 @ 16 spp:       0.308 Mrays/s (200k)
+  * renderSceneDragonBoxFull 128x128 @ 16 spp:   0.217 Mrays/s (7.2M)
 
 Prints one JSON line per workload (the box metric last — the driver's
-headline). `--verify` additionally runs on-chip parity checks (megakernel
-vs jnp wavefront, binned traversal vs sweep) and reports pass/fail.
+headline). On-chip parity verification (megakernel vs jnp wavefront,
+binned traversal vs sweep, sorted-driver medians) runs BY DEFAULT before
+the timings; a failure marks every metric line with an "error" field and
+zeroes vs_baseline so a hardware regression can never ship a green
+number. --no-verify skips it (quick local timing runs).
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -30,6 +38,7 @@ import jax.numpy as jnp
 
 REFERENCE_CPU_BOX_MRAYS = 0.883
 REFERENCE_CPU_DRAGON_MRAYS = 0.308
+REFERENCE_CPU_DRAGON_FULL_MRAYS = 0.217
 
 BOX_SIZE = 128
 BOX_SPP = 256
@@ -37,6 +46,10 @@ BOX_SPP_CHUNK = 64
 DRAGON_SIZE = 128
 DRAGON_SPP = 16
 DRAGON_TRIS = 200000
+DRAGON_FULL_TRIS = 7_200_000
+SCENE_CACHE = os.environ.get(
+    "PTX_SCENE_CACHE", os.path.expanduser("~/.cache/cpupathtrace_tpu")
+)
 
 
 def log(msg):
@@ -203,10 +216,67 @@ def run_verify():
     return bool(ok)
 
 
+def run_dragon_full(camera, results):
+    """The reference's TRUE dragon benchmark scale: ~7.2M triangles
+    (benchmark/main.cpp:59-105 loads the real xyzrgb_dragon). Lean build
+    (megakernel tables only) + the scene-table cache (scene/cache.py)
+    keep ingest off the timed path; build time and cache status are
+    logged either way."""
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.models.scenes import bench_dragon_scene
+    from cpupathtrace_tpu.scene.cache import build_cache_key, cached_build
+
+    # Full-scale knobs (scoped: the 200k dragon keeps its own defaults):
+    # the pair-record table budget must admit 7.2M tris, and 128-triangle
+    # records keep the supercluster count under the megakernel cap.
+    saved = {
+        k: os.environ.get(k) for k in ("PTX_KRN_MAX_TRIS", "PTX_KRN_CLUSTER")
+    }
+    os.environ.setdefault("PTX_KRN_MAX_TRIS", str(9 * 10**6))
+    os.environ.setdefault("PTX_KRN_CLUSTER", "128")
+    try:
+        t0 = time.time()
+        key = build_cache_key(
+            "dragonfull", DRAGON_FULL_TRIS, "binned", "lean"
+        )
+        scene, cache_hit = cached_build(
+            key,
+            lambda: bench_dragon_scene(
+                dragon_tris=DRAGON_FULL_TRIS, accel="binned", lean=True
+            ),
+            SCENE_CACHE,
+        )
+        log(f"# dragon-full scene ready in {time.time()-t0:.1f}s "
+            f"(cache {'HIT' if cache_hit else 'MISS — built fresh'}; "
+            f"{scene.n_tri} tris, S={scene.krn_cl_bounds.shape[0]}, "
+            f"L={scene.krn_cluster_size})")
+        options = RenderOptions(
+            DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
+            epsilon=1e-3, max_depth=40,
+        )
+        res, _ = run_workload(
+            "renderSceneDragonBoxFull", scene, camera, options,
+            DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
+            REFERENCE_CPU_DRAGON_FULL_MRAYS,
+        )
+        res["scene_build_s"] = round(time.time() - t0, 1)
+        res["scene_cache_hit"] = cache_hit
+        results.append(res)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--verify", action="store_true")
-    ap.add_argument("--workloads", default="dragon,box")
+    ap.add_argument("--verify", action="store_true",
+                    help="(default; kept for compatibility)")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the on-chip parity checks")
+    ap.add_argument("--workloads", default="dragonfull,dragon,box")
     args = ap.parse_args()
 
     # Persistent compilation cache: the remote-compiled executables are
@@ -222,7 +292,7 @@ def main():
     )
 
     verify_ok = None
-    if args.verify:
+    if not args.no_verify:
         try:
             verify_ok = run_verify()
         except Exception as e:  # noqa: BLE001 — report, keep benching
@@ -236,6 +306,12 @@ def main():
 
     # Workloads are independent: a device fault in one (the tunnel has
     # died mid-run before) must not cost the other's metric line.
+    if "dragonfull" in workloads:
+        try:
+            run_dragon_full(camera, results)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            log(f"# renderSceneDragonBoxFull FAILED: {type(e).__name__}: {e}")
+
     if "dragon" in workloads:
         try:
             t0 = time.time()
@@ -275,6 +351,12 @@ def main():
     for res in results:
         if verify_ok is not None:
             res["parity_verified"] = verify_ok
+            if not verify_ok:
+                # A failed hardware parity check invalidates the number:
+                # flip the metric to an error so the recorded bench can
+                # never report a regressed kernel as a green result.
+                res["error"] = "on-chip parity verify FAILED"
+                res["vs_baseline"] = 0.0
         print(json.dumps(res), flush=True)
 
 

@@ -160,7 +160,10 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     cp = s * GROUP
 
     rec = np.zeros((cp, l, PAIR_COLS), np.float32)
-    rec[:, :, _C_PRIM] = -1.0
+    # Only the padding records [c:cp] need the explicit miss marker; the
+    # batch pack below writes every lane of the real records (a full-table
+    # strided init here costs ~10 s at the 7.2M-triangle scale).
+    rec[c:, :, _C_PRIM] = -1.0
     _pack_pair_records_batch(
         v0, np.asarray(cl_v1, np.float32), np.asarray(cl_v2, np.float32),
         np.asarray(cl_cull, np.float32), prim,
@@ -223,32 +226,36 @@ def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat,
                              out=None):
     """Vectorized pack_pair_record_np over a [C, L, ...] cluster batch.
 
-    `out` ([C, L, PAIR_COLS] f32, zeroed with prim column -1) lets the
-    caller pack straight into a preallocated table — at dragon scale the
-    record tensor is ~0.5 GB, so skipping the extra alloc+copy matters."""
+    `out` ([C, L, PAIR_COLS] f32, zeroed) lets the caller pack straight
+    into a preallocated table — at dragon scale the record tensor is
+    ~0.5 GB, so skipping the extra alloc+copy matters.
+
+    The 28 feature columns are assembled in a CONTIGUOUS [C, L, 28]
+    staging block and written into the 128-lane table in ONE strided
+    pass: column-at-a-time writes re-touch every 512-byte table row per
+    column (~14 full-table traffic passes — measured 44 s of the 7.2M
+    build), while the single block write pays one."""
     c, l, _ = v0.shape
     e1 = v1 - v0
     e2 = v2 - v0
     n = np.cross(e1, e2)
     live = prim >= 0
     n = np.where(live[..., None], n, 0.0)
-    if out is None:
-        rec = np.zeros((c, l, PAIR_COLS), np.float32)
-        rec[:, :, _C_PRIM] = -1.0
-    else:
-        rec = out
-    rec[:, :l, 0:3] = -n
-    rec[:, :l, 3:6] = e2
-    rec[:, :l, 6:9] = np.cross(v0, e2)
-    rec[:, :l, 9:12] = -e1
-    rec[:, :l, 12:15] = -np.cross(v0, e1)
-    rec[:, :l, 15] = (v0 * n).sum(-1)
-    rec[:, :l, _C_CULL] = cull
-    rec[:, :l, _C_PRIM] = prim
-    rec[:, :l, _C_MAT] = mat
-    rec[:, :l, _C_N0:_C_N0 + 3] = n0
-    rec[:, :l, _C_N0 + 3:_C_N0 + 6] = n1
-    rec[:, :l, _C_N0 + 6:_C_N0 + 9] = n2
+    blk = np.empty((c, l, 28), np.float32)
+    blk[..., 0:3] = -n
+    blk[..., 3:6] = e2
+    blk[..., 6:9] = np.cross(v0, e2)
+    blk[..., 9:12] = -e1
+    blk[..., 12:15] = -np.cross(v0, e1)
+    blk[..., 15] = (v0 * n).sum(-1)
+    blk[..., _C_CULL] = cull
+    blk[..., _C_PRIM] = prim
+    blk[..., _C_MAT] = mat
+    blk[..., _C_N0:_C_N0 + 3] = n0
+    blk[..., _C_N0 + 3:_C_N0 + 6] = n1
+    blk[..., _C_N0 + 6:_C_N0 + 9] = n2
+    rec = np.zeros((c, l, PAIR_COLS), np.float32) if out is None else out
+    rec[:, :, :28] = blk
     return rec
 
 

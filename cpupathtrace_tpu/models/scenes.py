@@ -22,7 +22,7 @@ import numpy as np
 from ..camera.camera import APERTURE_CIRCULAR, Camera, make_camera
 from ..core.config import RenderOptions
 from ..scene.geometry import make_box, make_plane, transform_triangles
-from ..scene.mesh import load_mesh
+from ..scene.mesh import load_mesh, mesh_from_arrays
 from ..scene.scene import (
     BSDF_GLASS,
     BSDF_LAMBERTIAN,
@@ -100,8 +100,9 @@ def cornell_demo_scene(
             tris = load_mesh(dragon_obj, transform, cull_backface=False,
                              smooth=True, as_batch=True)
         else:
-            tris = load_mesh(
-                standin_dragon_obj(dragon_tris), transform,
+            verts, faces = standin_dragon_arrays(dragon_tris)
+            tris = mesh_from_arrays(
+                verts, faces, transform,
                 cull_backface=False, smooth=True, as_batch=True,
             )
         b.add_triangles(tris, glass)
@@ -160,6 +161,7 @@ def bench_dragon_scene(
     dragon_tris: int = 200000,
     accel: str | None = None,
     cluster_size: int | None = None,
+    lean: bool = False,
 ) -> SceneData:
     """Box + glass dragon at scale 0.01, offset (0,-0.5,0)
     (ref: benchmark/main.cpp:59-105)."""
@@ -178,12 +180,28 @@ def bench_dragon_scene(
         tris = load_mesh(dragon_obj, transform, cull_backface=False,
                          smooth=True, as_batch=True)
     else:
-        tris = load_mesh(
-            standin_dragon_obj(dragon_tris), transform, cull_backface=False,
+        # Procedural stand-in straight from arrays: same geometry as the
+        # OBJ text route at its %.6f precision, minus ~60 s of text
+        # serialization at the 7.2M-triangle scale.
+        verts, faces = standin_dragon_arrays(dragon_tris)
+        tris = mesh_from_arrays(
+            verts, faces, transform, cull_backface=False,
             smooth=True, as_batch=True,
         )
     b.add_triangles(tris, glass)
-    return b.build(accel=accel, cluster_size=cluster_size)
+    return b.build(accel=accel, cluster_size=cluster_size, lean=lean)
+
+
+def standin_dragon_arrays(
+    target_tris: int = 200000, seed: int = 7
+) -> tuple[np.ndarray, np.ndarray]:
+    """The stand-in dragon as (verts [V,3] f64, faces [F,3] 0-based i64),
+    with vertices rounded to 6 decimals — the precision the OBJ text path
+    (`standin_dragon_obj`, "%.6f") carries — so feeding these through
+    `mesh_from_arrays` matches the write-OBJ-then-parse route without
+    paying ~60 s of text serialization at the 7.2M-triangle scale."""
+    verts, faces = _standin_dragon_geometry(target_tris, seed)
+    return np.round(verts.reshape(-1, 3), 6), faces - 1
 
 
 def standin_dragon_obj(target_tris: int = 200000, seed: int = 7) -> str:
@@ -194,6 +212,19 @@ def standin_dragon_obj(target_tris: int = 200000, seed: int = 7) -> str:
 
     Returns OBJ text with ~target_tris triangles.
     """
+    verts, faces = _standin_dragon_geometry(target_tris, seed)
+    out = ["# procedural stand-in for xyzrgb_dragon.obj"]
+    vflat = verts.reshape(-1, 3)
+    out.extend(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}" for v in vflat)
+    out.extend(f"f {f[0]} {f[1]} {f[2]}" for f in faces)
+    return "\n".join(out) + "\n"
+
+
+def _standin_dragon_geometry(
+    target_tris: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw stand-in geometry: verts [rows+1, cols, 3] f64 (unquantized)
+    and 1-BASED faces [F, 3] i64 (OBJ convention)."""
     # A UV sphere with R rows and C columns has 2*R*C triangles.
     rows = max(int(math.sqrt(target_tris / 4)), 3)
     cols = 2 * rows
@@ -232,9 +263,4 @@ def standin_dragon_obj(target_tris: int = 200000, seed: int = 7) -> str:
         if i < rows - 1:
             faces.append(np.stack([a_n, bb, b_n], axis=-1))
     faces = np.concatenate(faces, axis=0) + 1  # OBJ is 1-based
-
-    out = ["# procedural stand-in for xyzrgb_dragon.obj"]
-    vflat = verts.reshape(-1, 3)
-    out.extend(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}" for v in vflat)
-    out.extend(f"f {f[0]} {f[1]} {f[2]}" for f in faces)
-    return "\n".join(out) + "\n"
+    return verts, faces

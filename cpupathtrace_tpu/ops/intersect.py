@@ -446,6 +446,12 @@ def scene_intersect(scene: SceneData, o, d, t_max=None, live=None,
       * any_hit: the returned hit need not be the nearest (visibility)
     """
     if scene.accel == "binned":
+        if scene.lean:
+            raise ValueError(
+                "lean-built scene: the binned-wavefront tables were not "
+                "packed (build(lean=True) serves only the megakernel "
+                "path); rebuild with lean=False for jnp/binned rendering"
+            )
         from ..accel.pallas_traverse import (
             binned_intersect_ref,
             binned_intersect_tpu,

@@ -177,7 +177,28 @@ def load_mesh(
     # reference's stof out_of_range contract); the vectorized/native paths
     # would otherwise yield inf, which face validation cannot reject.
     verts = np.where(np.isfinite(verts), verts, np.nan)
+    return mesh_from_arrays(
+        verts, face_idx, transformation,
+        cull_backface=cull_backface, smooth=smooth, as_batch=as_batch,
+    )
 
+
+def mesh_from_arrays(
+    verts: np.ndarray,
+    face_idx: np.ndarray,
+    transformation: np.ndarray | None = None,
+    cull_backface: bool = True,
+    smooth: bool = True,
+    as_batch: bool = False,
+) -> list[HostTriangle] | TriangleBatch:
+    """Build triangles from raw vertex [V,3] + face-index [F,3] arrays —
+    the exact post-parse pipeline of `load_mesh` (transform at load,
+    face validation, smooth vertex normals; ref: mesh.cpp:127-267),
+    without the OBJ text round trip. The procedural benchmark meshes use
+    this: generating + parsing 7M faces of OBJ text costs ~60 s that is
+    pure serialization overhead when the geometry is already in memory."""
+    verts = np.asarray(verts, np.float64).reshape(-1, 3)
+    face_idx = np.asarray(face_idx, np.int64).reshape(-1, 3)
     mat = _IDENTITY if transformation is None else np.asarray(transformation, np.float64)
     if verts.shape[0]:
         h = np.concatenate([verts, np.ones((verts.shape[0], 1))], axis=1) @ mat.T

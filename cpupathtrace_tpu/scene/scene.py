@@ -70,7 +70,7 @@ def _cull_uniformity(culls) -> int:
         "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
         "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
         "emissive_in_dense", "gp_axis", "krn_cull_mode",
-        "krn_big_cull_mode",
+        "krn_big_cull_mode", "lean",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -195,6 +195,12 @@ class SceneData:
     krn_cull_mode: int = -1
     # Same for the always-tested big-partition / dense pair record.
     krn_big_cull_mode: int = -1
+    # Lean build (build(lean=True)): only the in-kernel megakernel tables
+    # were packed — the per-prim BVH and the binned-wavefront cluster/
+    # trv tables are placeholders. Cuts multi-million-triangle scene
+    # builds ~2x for production ingest where only the megakernel path
+    # renders; the jnp/binned fallbacks raise instead of mis-rendering.
+    lean: bool = False
 
     @property
     def use_bvh(self) -> bool:
@@ -302,6 +308,7 @@ class SceneBuilder:
         cluster_size: int | None = None,
         binned_threshold: int = 4096,
         big_diag_frac: float = 0.05,
+        lean: bool = False,
     ) -> SceneData:
         """Pack the scene into SoA device arrays.
 
@@ -314,6 +321,13 @@ class SceneBuilder:
         primitives, binned above `binned_threshold` small triangles, sweep
         in between. `use_bvh` (bool) is the legacy switch mapping to
         "bvh"/"dense".
+
+        `lean=True` (binned scenes only) packs ONLY the in-kernel
+        megakernel tables: the per-prim BVH and the binned-wavefront
+        cluster/trv tables become placeholders, roughly halving
+        multi-million-triangle build time. The skipped fallback paths
+        raise loudly if dispatched (production-ingest mode; the 7.2M
+        benchmark scene uses it).
         """
         from ..accel.build import build_bvh
         from ..accel.cluster import build_cluster_bvh, build_sah_clusters
@@ -475,9 +489,17 @@ class SceneBuilder:
         if accel in ("cluster", "sweep", "binned") and n_tri == 0:
             accel = "dense" if n_prims <= dense_threshold else "bvh"
 
-        if n_prims > 0:
+        if lean and accel != "binned":
+            raise ValueError(
+                f"lean build requires the binned accel (got {accel!r}); "
+                "small scenes build their full tables in milliseconds"
+            )
+        if n_prims > 0 and not lean:
             bvh = build_bvh(prim_lo, prim_hi)
         else:
+            # Lean: the per-prim BVH serves only the accel='bvh' walk and
+            # parity tests — ~30 s at 7.2M prims for a table the
+            # megakernel never reads.
             bvh = build_bvh(np.zeros((1, 3), f32), np.zeros((1, 3), f32))
 
         # Cluster structure over triangles (spheres are dense-tested by the
@@ -492,7 +514,9 @@ class SceneBuilder:
             small_idx = np.flatnonzero(~big_mask)
             big_idx = np.flatnonzero(big_mask)
             n_big = int(big_idx.shape[0])
-            if cluster_size is None:
+            if lean:
+                cluster_size = 1  # trv clustering skipped below
+            elif cluster_size is None:
                 # Balance the SMEM candidate scan (cost ~ n_clusters) against
                 # per-candidate streaming (cost ~ cluster_size); keep the
                 # cluster count in the hundreds (docs/DESIGN_large_scenes.md).
@@ -512,7 +536,29 @@ class SceneBuilder:
             small_idx = np.arange(n_tri)
             if cluster_size is None:
                 cluster_size = 128  # v5e-tuned sweep default (BASELINE.md)
-        if accel in ("cluster", "sweep", "binned"):
+        if lean:
+            # Only the megakernel's krn_* tiers get packed; the binned-
+            # wavefront cluster/blk tables are placeholders. Root bounds
+            # of the small partition still feed the sorted driver's
+            # coherence key.
+            blk_v0 = blk_v1 = blk_v2 = np.zeros((1, 1, 3), f32)
+            blk_cull = np.zeros((1, 1), bool)
+            blk_prim = np.full((1, 1), -1, np.int32)
+            blk_lo = np.zeros((1, 3), f32)
+            blk_hi = np.zeros((1, 3), f32)
+            cl_arrays = (
+                np.zeros((1, 3), f32), np.zeros((1, 3), f32),
+                np.full(1, -1, np.int32), np.full(1, -1, np.int32),
+                np.full(1, -1, np.int32),
+            )
+            cl_depth = 1
+            if small_idx.size:
+                root_lo = lo_tri[small_idx].min(axis=0).astype(f32)
+                root_hi = hi_tri[small_idx].max(axis=0).astype(f32)
+            else:
+                root_lo = np.full(3, np.inf, f32)
+                root_hi = np.full(3, -np.inf, f32)
+        elif accel in ("cluster", "sweep", "binned"):
             cl = build_cluster_bvh(
                 lo_tri[small_idx], hi_tri[small_idx], cluster_size=cluster_size
             )
@@ -572,7 +618,7 @@ class SceneBuilder:
             big_prim[:n_big] = big_idx
 
         # Mosaic-layout traversal tables for the binned Pallas kernels.
-        if accel == "binned":
+        if accel == "binned" and not lean:
             from ..accel.pallas_traverse import pack_blocks_np, pack_bounds_np
 
             trv_blocks = pack_blocks_np(blk_v0, blk_v1, blk_v2, blk_cull, blk_prim)
@@ -670,6 +716,34 @@ class SceneBuilder:
         else:
             emissive_in_dense = True
 
+        if lean:
+            # A lean scene has no fallback intersector: the megakernel
+            # MUST be dispatchable or nothing can render it.
+            problems = []
+            if krn_cluster_size == 0:
+                problems.append(
+                    f"small partition ({n_small} tris) exceeds "
+                    f"PTX_KRN_MAX_TRIS"
+                )
+            if n_big > 128:
+                problems.append(
+                    f"big partition ({n_big} tris) exceeds the 128-row "
+                    "pair record"
+                )
+            if not emissive_in_dense:
+                problems.append("emissive prims outside the dense partition")
+            if krn_cl_bounds.shape[0] > 4096:
+                # pallas_megakernel._MAX_SUP (import here would be circular)
+                problems.append(
+                    f"{krn_cl_bounds.shape[0]} superclusters exceed the "
+                    "megakernel cap (4096); raise PTX_KRN_CLUSTER"
+                )
+            if problems:
+                raise ValueError(
+                    "lean build cannot serve the megakernel: "
+                    + "; ".join(problems)
+                )
+
         return SceneData(
             tri_v0=jnp.asarray(tri_v[0]), tri_v1=jnp.asarray(tri_v[1]), tri_v2=jnp.asarray(tri_v[2]),
             tri_n0=jnp.asarray(tri_n[0]), tri_n1=jnp.asarray(tri_n[1]), tri_n2=jnp.asarray(tri_n[2]),
@@ -718,4 +792,5 @@ class SceneBuilder:
             cluster_size=int(cluster_size),
             krn_cull_mode=int(krn_cull_mode),
             krn_big_cull_mode=int(krn_big_cull_mode),
+            lean=bool(lean),
         )

@@ -134,3 +134,52 @@ def test_out_of_range_numbers_rejected_tolerantly():
             "f 1 2 3\nf 2 3 4\n")
     tris = load_mesh(src3)
     assert len(tris) == 1  # only the all-finite face survives
+
+
+def test_mesh_from_arrays_matches_obj_text_path():
+    """The arrays fast path (used by the benchmark stand-in) must match
+    the OBJ-text round trip: same triangle count, f32-identical geometry
+    and smooth normals (the arrays carry the text path's %.6f precision
+    via standin_dragon_arrays' 6-decimal rounding)."""
+    import numpy as np
+
+    from cpupathtrace_tpu.models.scenes import (
+        standin_dragon_arrays,
+        standin_dragon_obj,
+    )
+    from cpupathtrace_tpu.scene.mesh import load_mesh, mesh_from_arrays
+
+    tf = np.array(
+        [[0.01, 0, 0, 0], [0, 0.01, 0, -0.5], [0, 0, 0.01, 0], [0, 0, 0, 1.0]]
+    )
+    via_text = load_mesh(
+        standin_dragon_obj(20000), tf, cull_backface=False, smooth=True,
+        as_batch=True,
+    )
+    verts, faces = standin_dragon_arrays(20000)
+    via_arrays = mesh_from_arrays(
+        verts, faces, tf, cull_backface=False, smooth=True, as_batch=True
+    )
+    assert len(via_text) == len(via_arrays)
+    for f in ("v0", "v1", "v2", "n0", "n1", "n2"):
+        a = np.asarray(getattr(via_text, f), np.float32)
+        b = np.asarray(getattr(via_arrays, f), np.float32)
+        # %.6f text -> float64 parse and np.round(x, 6) can differ by an
+        # f64 ulp at decimal-rounding boundaries; in f32 that vanishes.
+        np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+def test_mesh_from_arrays_validates_faces():
+    import numpy as np
+
+    from cpupathtrace_tpu.scene.mesh import mesh_from_arrays
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [2, 0, 0]], float)
+    faces = np.array([
+        [0, 1, 2],   # valid
+        [0, 1, 1],   # duplicate vertex
+        [0, 1, 3],   # collinear
+        [0, 1, 9],   # out of range
+    ])
+    batch = mesh_from_arrays(verts, faces, as_batch=True)
+    assert len(batch) == 1
