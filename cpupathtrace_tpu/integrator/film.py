@@ -241,6 +241,16 @@ def render_tile(
     stats_means = jnp.zeros((p, max(n_full, 1), 4))
     stats_valid = jnp.zeros((p, max(n_full, 1)), bool)
 
+    # Early-break flags are consumed LAGGED: chunk c's all-frozen scalar
+    # is checked only after chunk c+K was enqueued, so the device keeps
+    # K chunks in flight while the flag's device->host round trip
+    # (~134 ms over the TPU tunnel — measured, memory/
+    # tpu-measurement-pitfalls) rides under their compute. Worst case K
+    # extra chunks run after convergence — frozen pixels no longer
+    # accumulate, so the output is bitwise unchanged.
+    flag_lag = 3
+    pending_flags: list = []
+
     keys = jax.random.split(key, n_full + 1)
     for c in range(n_full):
         s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[c],
@@ -276,15 +286,18 @@ def render_tile(
         frozen = frozen | newly_accepted
 
         # Early break saves whole chunks only in adaptive mode; for
-        # fixed-spp renders skip the check entirely — `bool(...)` forces a
-        # device->host sync per chunk (a latency bubble over the TPU
-        # tunnel).
-        if (
-            max_sc > min_sc
-            and c >= (min_sc // stats - 1)
-            and bool(jnp.all(frozen | accepted))
-        ):
-            break
+        # fixed-spp renders skip the flags entirely. The host check is
+        # PIPELINED (see flag_lag above): enqueue this chunk's flag
+        # asynchronously, consume the one from K chunks ago.
+        if max_sc > min_sc and c >= (min_sc // stats - 1):
+            flag = jnp.all(frozen | accepted)
+            try:
+                flag.copy_to_host_async()
+            except AttributeError:  # non-jax.Array backends (tracing)
+                pass
+            pending_flags.append(flag)
+            if len(pending_flags) > flag_lag and bool(pending_flags.pop(0)):
+                break
 
     if remainder > 0:
         s, coll = render_chunk(scene, camera, options, x_cam, y_cam,
