@@ -68,6 +68,91 @@ _MORTON_BITS = min(8, max(1, int(os.environ.get("PTX_SORT_MORTON_BITS", "4"))))
 # coherence for the sort's ~5-10 ms.
 _SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 14)))
 
+# Permutation glue implementation:
+#   "fused"  — ONE multi-operand lax.sort carries the full 19-array path
+#              state through the sort network. Fastest per bounce (zero
+#              gathers) but the variadic TPU sort lowering costs ~5.5 s of
+#              XLA compile PER OPERAND (measured: 20 operands = 170 s) —
+#              a ~3 min cold compile for the dragon program.
+#   "packed" — 2-operand argsort (key, iota), then the state rides ONE
+#              row-gather of a bit-packed [R, 19] matrix. TPU gather cost
+#              is per ROW (a 128-lane line regardless of column count),
+#              so one wide gather ≈ one narrow gather — measured ~19x
+#              cheaper than the 19 per-array takes of round 2, and the
+#              whole program compiles ~10x faster than "fused".
+#   "wide"   — 2-operand sort of (key broadcast to [R, W], packed
+#              [R, W] payload) along axis 0: W independent column sorts
+#              whose exchange decisions depend only on the (identical)
+#              key columns, so every column applies the SAME permutation
+#              (bit-exactness tested vs "fused"). Compiles in ~6 s and
+#              runs 5.7 ms/sort STANDALONE, but inside this driver's
+#              while-loop v5e emits a ~250 ms/sort program (layout
+#              {0,1:T(8,128)} sort emission; HLO shows no transposes —
+#              the cost is inside the sort custom-call). Kept as an
+#              experiment knob; do not default.
+#
+# Measured on the 200k dragon bench (v5e, round 4): fused 261.5 ms
+# frame / ~176 s compile; packed 288.7 ms / ~23 s compile; per-sort
+# amortized cost argsort 1.35 ms, packed 8.4 ms, wide 5.7 ms
+# (standalone). "packed" is the default: the ~9% frame cost on this
+# benchmark buys a 7x faster cold compile (the recorded-bench path);
+# PTX_SORT_GLUE=fused restores peak throughput where the one-time
+# compile amortizes (the persistent compilation cache keeps it warm).
+_SORT_GLUE = os.environ.get("PTX_SORT_GLUE", "packed")
+
+
+def _permute_packed(key, arrays):
+    """Sort-order permutation via argsort + one packed row-gather.
+
+    Returns (sorted_key, permuted arrays). Non-f32 operands ride the
+    gather bit-cast to f32: stack/gather/slice are byte-preserving (no
+    arithmetic touches the lanes), verified bit-exact for arbitrary
+    uint32 patterns in tests/test_megakernel.py."""
+    r = key.shape[0]
+    key_s, order = jax.lax.sort(
+        (key, jax.lax.iota(jnp.int32, r)), num_keys=1, is_stable=False
+    )
+    cols = [
+        a if a.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(a, jnp.float32)
+        for a in arrays
+    ]
+    g = jnp.take(jnp.stack(cols, axis=-1), order, axis=0)
+    return key_s, tuple(
+        g[:, i] if a.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(g[:, i], a.dtype)
+        for i, a in enumerate(arrays)
+    )
+
+
+def _permute_wide(key, arrays):
+    """Sort-order permutation via ONE broadcast-key wide-payload sort.
+
+    The payload rides bit-packed as [R, W]; the key is broadcast to the
+    same shape and `lax.sort(dimension=0)` runs W independent column
+    sorts. Exchange decisions depend only on the key columns, which are
+    identical, so every column applies the same permutation — verified
+    bit-exact against the fused multi-operand sort in tests. Two
+    operands keep the TPU sort's compile cost flat in state width
+    (the variadic lowering costs ~5.5 s/operand)."""
+    r = key.shape[0]
+    w = len(arrays)
+    cols = [
+        a if a.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(a, jnp.float32)
+        for a in arrays
+    ]
+    kb = jnp.broadcast_to(key[:, None], (r, w))
+    ks, ps = jax.lax.sort(
+        (kb, jnp.stack(cols, axis=-1)), dimension=0, num_keys=1,
+        is_stable=False,
+    )
+    return ks[:, 0], tuple(
+        ps[:, i] if a.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(ps[:, i], a.dtype)
+        for i, a in enumerate(arrays)
+    )
+
 
 def _seed_rng_flat(seed, idx):
     """Per-ray xorshift32 state from the ORIGINAL ray index (sort-stable);
@@ -312,12 +397,20 @@ def trace_megakernel_sorted(
         key = _sort_key(st[1], st[2], st[3], st[4], st[5], st[6],
                         st[17], lo, hi)
 
-        # Multi-operand sort: the network carries every state array along
-        # with the key. An argsort + 19 take()s costs ~116 ms/bounce on
-        # v5e (TPU dynamic gather is serial); the fused sort is ~10x
-        # cheaper (docs/DESIGN_large_scenes.md round-3 notes).
-        def do_sort(ops):
-            return jax.lax.sort(ops, num_keys=1, is_stable=False)
+        # Permutation glue (see _SORT_GLUE): the fused multi-operand sort
+        # or the argsort + packed-row-gather. Round 2's 19 PER-ARRAY
+        # takes (116 ms/bounce) are the formulation both replace.
+        if _SORT_GLUE == "fused":
+            def do_sort(ops):
+                return jax.lax.sort(ops, num_keys=1, is_stable=False)
+        elif _SORT_GLUE == "packed":
+            def do_sort(ops):
+                key_s, rest = _permute_packed(ops[0], ops[1:])
+                return (key_s,) + rest
+        else:  # "wide"
+            def do_sort(ops):
+                key_s, rest = _permute_wide(ops[0], ops[1:])
+                return (key_s,) + rest
 
         # Tail bounces carry few live rays (sorted to the head, whole
         # blocks dead): re-sorting the full array buys nothing there, so
@@ -333,10 +426,17 @@ def trace_megakernel_sorted(
 
     _, st, idx = jax.lax.while_loop(cond, step, (jnp.int32(0), state, idx0))
 
-    # Un-permute by sorting on the original ray index (gather-free).
-    idx, out_r, out_g, out_b, coll_f = jax.lax.sort(
-        (idx, st[10], st[11], st[12], st[16]), num_keys=1, is_stable=False
-    )
+    # Un-permute by sorting on the original ray index.
+    if _SORT_GLUE == "fused":
+        idx, out_r, out_g, out_b, coll_f = jax.lax.sort(
+            (idx, st[10], st[11], st[12], st[16]), num_keys=1,
+            is_stable=False,
+        )
+    else:
+        unperm = _permute_wide if _SORT_GLUE == "wide" else _permute_packed
+        _, (out_r, out_g, out_b, coll_f) = unperm(
+            idx, (st[10], st[11], st[12], st[16])
+        )
     out_r = out_r[:r]
     out_g = out_g[:r]
     out_b = out_b[:r]

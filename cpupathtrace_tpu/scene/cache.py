@@ -1,5 +1,5 @@
 """Scene table persistence: save/load built `SceneData` to a single
-`.npz` file, plus a keyed build cache.
+binary file, plus a keyed build cache.
 
 The reference loads its scene from OBJ and rebuilds the BVH on every
 process start (ref: src/scene/scene.cpp:153-181 runs in the `Scene`
@@ -8,15 +8,11 @@ BASELINE.md). This module is the production-ingest answer for the TPU
 framework: build once, persist the packed SoA tables (including the
 multi-gigabyte in-kernel pair records), and reload at disk speed.
 
-Format: one uncompressed `.npz` holding every array field of `SceneData`
-plus a `__meta__` JSON blob for the static fields. Uncompressed on
-purpose — the pair-record table is ~0.5 GB/M-triangles and dominated by
-float entropy; zlib costs minutes and saves little.
-
-`cached_build(key, build_fn, cache_dir)` wraps any scene-producing
-callable with a content-keyed cache. The key must capture everything the
-build depends on (mesh identity, accel knobs, PTX_* env overrides);
-`build_cache_key` helps assemble one.
+Format: a tiny JSON header (static fields + array directory) followed
+by raw 64-byte-aligned array blobs. NOT .npz on purpose: numpy's
+zipfile path was measured at ~10 MB/s write / ~25 MB/s read on the
+4 GiB dragon tables (7+ minutes per save); raw `readinto` runs at
+disk speed (~seconds).
 """
 from __future__ import annotations
 
@@ -24,6 +20,7 @@ import dataclasses
 import hashlib
 import json
 import os
+import struct
 from pathlib import Path
 from typing import Callable
 
@@ -32,9 +29,11 @@ import numpy as np
 
 from .scene import SceneData
 
+_MAGIC = b"PTXSCENE"
 # Bump when the SceneData field set / packed-table layout changes in a
 # way that invalidates cached files.
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+_ALIGN = 64
 
 
 def _split_fields():
@@ -59,32 +58,64 @@ _ARRAYS, _META = _split_fields()
 
 
 def save_scene(scene: SceneData, path: str | os.PathLike) -> None:
-    """Persist a built scene's tables to `path` (.npz, uncompressed)."""
+    """Persist a built scene's tables to `path` (raw binary, atomic)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    payload = {name: np.asarray(getattr(scene, name)) for name in _ARRAYS}
-    meta = {name: getattr(scene, name) for name in _META}
+    hosts = {n: np.ascontiguousarray(getattr(scene, n)) for n in _ARRAYS}
+    meta = {n: getattr(scene, n) for n in _META}
     meta["__format__"] = _FORMAT_VERSION
-    payload["__meta__"] = np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8
-    ).copy()
+    entries = [
+        {"name": n, "dtype": a.dtype.str, "shape": list(a.shape)}
+        for n, a in hosts.items()
+    ]
+    header = {"meta": meta, "arrays": entries}
+    # The header length feeds back into the first blob offset: budget the
+    # offset fields generously, then pad the header (JSON tolerates
+    # trailing whitespace) to the budgeted size so offsets stay valid.
+    budget = len(json.dumps(header).encode()) + 32 * len(entries) + 64
+    off = (len(_MAGIC) + 8 + budget + _ALIGN - 1) // _ALIGN * _ALIGN
+    hlen = off - len(_MAGIC) - 8
+    for e in entries:
+        e["offset"] = off
+        off += hosts[e["name"]].nbytes
+        off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
+    blob = json.dumps(header).encode()
+    assert len(blob) <= hlen, "header budget exceeded"
+    blob = blob + b" " * (hlen - len(blob))
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
-        np.savez(f, **payload)
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(blob)))
+        f.write(blob)
+        for e in entries:
+            f.seek(e["offset"])
+            f.write(memoryview(hosts[e["name"]]).cast("B"))
     os.replace(tmp, path)  # atomic vs concurrent readers
 
 
 def load_scene(path: str | os.PathLike) -> SceneData:
     """Reload a scene saved by `save_scene`; arrays land on the default
-    device. Raises ValueError on a format-version mismatch."""
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["__meta__"]).decode())
+    device. Raises ValueError on a format-version/magic mismatch."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a scene cache file")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen).decode())
+        meta = dict(header["meta"])
         if meta.pop("__format__", None) != _FORMAT_VERSION:
             raise ValueError(
                 f"{path}: stale scene-cache format "
                 f"(want {_FORMAT_VERSION}); rebuild"
             )
-        kwargs = {name: jnp.asarray(z[name]) for name in _ARRAYS}
+        kwargs = {}
+        for e in header["arrays"]:
+            a = np.empty(e["shape"], dtype=np.dtype(e["dtype"]))
+            f.seek(e["offset"])
+            n = f.readinto(memoryview(a).cast("B"))
+            if n != a.nbytes:
+                raise ValueError(f"{path}: truncated ({e['name']})")
+            kwargs[e["name"]] = jnp.asarray(a)
     kwargs.update(meta)
     return SceneData(**kwargs)
 
@@ -111,9 +142,9 @@ def cached_build(
     cache_dir: str | os.PathLike,
 ) -> tuple[SceneData, bool]:
     """Return (scene, was_cache_hit). On a miss, runs `build_fn`, saves
-    the result under `cache_dir/<key>.npz`, and returns it. A corrupt or
-    stale-format file is treated as a miss and overwritten."""
-    path = Path(cache_dir) / f"{key}.npz"
+    the result under `cache_dir/<key>.ptxs`, and returns it. A corrupt
+    or stale-format file is treated as a miss and overwritten."""
+    path = Path(cache_dir) / f"{key}.ptxs"
     if path.exists():
         try:
             return load_scene(path), True

@@ -185,3 +185,44 @@ def test_sorted_wavefront(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(s_s), np.asarray(s_u), rtol=1e-5, atol=1e-7
     )
+
+
+def test_permute_packed_bit_exact_and_matches_fused():
+    """The packed-row-gather permutation must move every operand BIT
+    EXACTLY (uint32 RNG states ride it bitcast to f32 — any arithmetic
+    canonicalization would corrupt NaN-pattern payloads) and agree with
+    the fused multi-operand sort on unique keys."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpupathtrace_tpu.integrator.sorted_wavefront import _permute_packed
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    key = jnp.asarray(rng.permutation(n).astype(np.int32))  # unique keys
+    # Adversarial payloads: all-ones (NaN pattern), signaling-NaN range,
+    # denormals, zeros, random.
+    u = rng.integers(0, 2**32, n, dtype=np.uint32)
+    u[:64] = 0xFFFFFFFF
+    u[64:128] = 0x7F800001  # sNaN pattern
+    u[128:192] = 0x00000001  # denormal
+    f = rng.normal(size=n).astype(np.float32)
+    i = rng.integers(-(2**31), 2**31 - 1, n, dtype=np.int32)
+    arrays = (jnp.asarray(u), jnp.asarray(f), jnp.asarray(i))
+
+    fused = jax.lax.sort((key,) + arrays, num_keys=1, is_stable=False)
+    from cpupathtrace_tpu.integrator.sorted_wavefront import _permute_wide
+
+    for permute in (_permute_packed, _permute_wide):
+        key_s, perm = jax.jit(permute)(key, arrays)
+        np.testing.assert_array_equal(
+            np.asarray(key_s), np.asarray(fused[0]), err_msg=permute.__name__
+        )
+        for a, b, dt in zip(perm, fused[1:], ("u32", "f32", "i32")):
+            av, bv = np.asarray(a), np.asarray(b)
+            # Compare raw bits: NaN != NaN under ==.
+            np.testing.assert_array_equal(
+                av.view(np.uint32), bv.view(np.uint32),
+                err_msg=f"{permute.__name__} {dt}",
+            )

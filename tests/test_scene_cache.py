@@ -24,7 +24,7 @@ def scene():
 
 
 def test_roundtrip_bit_identical(scene, tmp_path):
-    p = tmp_path / "scene.npz"
+    p = tmp_path / "scene.bin"
     save_scene(scene, p)
     back = load_scene(p)
     for f in dataclasses.fields(scene):
@@ -46,7 +46,7 @@ def test_roundtrip_renders_identically(scene, tmp_path):
     from cpupathtrace_tpu.core.rays import Rays
     from cpupathtrace_tpu.integrator.wavefront import trace
 
-    p = tmp_path / "scene.npz"
+    p = tmp_path / "scene.bin"
     save_scene(scene, p)
     back = load_scene(p)
 
@@ -66,25 +66,23 @@ def test_roundtrip_renders_identically(scene, tmp_path):
     assert np.array_equal(np.asarray(c0), np.asarray(c1))
 
 
-def test_stale_format_rejected(scene, tmp_path):
-    import json
-
+def test_stale_format_rejected(scene, tmp_path, monkeypatch):
     from cpupathtrace_tpu.scene import cache as cache_mod
 
-    p = tmp_path / "scene.npz"
+    p = tmp_path / "scene.bin"
+    # Save under a future format version, then try to load with ours.
+    monkeypatch.setattr(
+        cache_mod, "_FORMAT_VERSION", cache_mod._FORMAT_VERSION + 1
+    )
     save_scene(scene, p)
-    # Tamper the format version inside the saved meta blob.
-    with np.load(p) as z:
-        payload = {k: z[k] for k in z.files}
-    meta = json.loads(bytes(payload["__meta__"]).decode())
-    meta["__format__"] = cache_mod._FORMAT_VERSION + 1
-    payload["__meta__"] = np.frombuffer(
-        json.dumps(meta).encode(), np.uint8
-    ).copy()
-    with open(p, "wb") as f:
-        np.savez(f, **payload)
+    monkeypatch.undo()
     with pytest.raises(ValueError, match="stale"):
         load_scene(p)
+    # Non-cache files are rejected by magic, not mis-parsed.
+    q = tmp_path / "junk.bin"
+    q.write_bytes(b"definitely not a scene")
+    with pytest.raises(ValueError, match="not a scene cache"):
+        load_scene(q)
 
 
 def test_cached_build_hits_and_misses(scene, tmp_path):
@@ -101,7 +99,7 @@ def test_cached_build_hits_and_misses(scene, tmp_path):
     assert len(calls) == 1
     assert np.array_equal(np.asarray(s1.tri_v0), np.asarray(s2.tri_v0))
     # A corrupt file is a miss, not an error.
-    (tmp_path / f"{key}.npz").write_bytes(b"garbage")
+    (tmp_path / f"{key}.ptxs").write_bytes(b"garbage")
     s3, hit3 = cached_build(key, build, tmp_path)
     assert hit3 is False and len(calls) == 2
     assert np.array_equal(np.asarray(s3.tri_v0), np.asarray(scene.tri_v0))
