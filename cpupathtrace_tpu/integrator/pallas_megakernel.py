@@ -330,11 +330,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
         if n_super or dense_pair:
             bigp_col = lambda i: bigp_ref[:, i:i + 1]
         if single_bounce:
-            assert not debug_visits
             st_in = rest[pos:pos + N_STATE]
             pos += N_STATE
             st_out = rest[pos:pos + N_STATE]
             pos += N_STATE
+            if debug_visits:
+                vis_out = rest[pos]
+                pos += 1
             shp = st_in[1].shape
         else:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[
@@ -798,6 +800,9 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             )
             for r, v in zip(st_out, st):
                 r[:] = v
+            if vis_ref is not None:
+                for c in range(4):
+                    vis_out[pl.program_id(0), c] = vis_ref[c]
             return
 
         ones = jnp.ones(shp, jnp.float32)

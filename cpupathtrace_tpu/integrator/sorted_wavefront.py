@@ -231,11 +231,12 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "epsilon", "n_super", "block_rows", "dense_pair",
-                     "cull_mode", "big_cull_mode"),
+                     "cull_mode", "big_cull_mode", "debug_visits"),
 )
 def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
                  n_em, em_k, epsilon, n_super, block_rows,
-                 dense_pair=False, cull_mode=-1, big_cull_mode=-1):
+                 dense_pair=False, cull_mode=-1, big_cull_mode=-1,
+                 debug_visits=False):
     """One bounce of the megakernel body over [rows, 128] state blocks."""
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = state[1].shape[0]
@@ -252,6 +253,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
         epsilon=epsilon, n_super=n_super, single_bounce=True,
         dense_pair=dense_pair, clb_vmem=clb_vmem, cull_mode=cull_mode,
         big_cull_mode=big_cull_mode,
+        debug_visits=bool(debug_visits and n_super),
     )
     table_specs = [
         smem((2,)),
@@ -286,15 +288,37 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((REC_QUEUE,)),
         ]
+    out_specs = [ray_spec] * N_STATE
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, _LANES), a.dtype) for a in state
+    ]
+    if debug_visits and n_super:
+        out_specs = out_specs + [
+            pl.BlockSpec((grid[0], 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        ]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((grid[0], 4), jnp.int32)
+        ]
+        scratch = scratch + [pltpu.SMEM((4,), jnp.int32)]
+    # A VMEM-resident cluster-bounds table (33 MB at 7.2M tris) exceeds
+    # Mosaic's default scoped-VMEM budget; raise the per-kernel limit
+    # (v5e VMEM is 128 MiB) instead of globally via XLA flags.
+    params = None
+    if clb_vmem:
+        need = int(np.prod(clb.shape)) * 4
+        if need > 8 * (1 << 20):
+            params = pltpu.CompilerParams(
+                vmem_limit_bytes=min(need + (1 << 25), 112 * (1 << 20))
+            )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=table_specs + [ray_spec] * N_STATE,
-        out_specs=[ray_spec] * N_STATE,
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, _LANES), a.dtype) for a in state
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
+        compiler_params=params,
     )(*table_args, *state)
 
 
@@ -305,10 +329,13 @@ def trace_megakernel_sorted(
     seed,
     tables=None,
     sort: bool = True,
+    debug_visits: bool = False,
 ):
     """Full-path trace with per-bounce coherence sorting. Same contract as
     trace_megakernel: returns (spectrum [R,4] with alpha=collected,
-    collected [R] bool).
+    collected [R] bool); with debug_visits (profiling, binned scenes
+    only) additionally a [max_depth, n_blocks, 4] i32 per-bounce visit
+    counter array (see _mega_call for the column meaning).
 
     `sort=False` disables the permutation (an ablation/debug mode): each
     ray's RNG stream rides its carried state, so per-ray estimates are
@@ -355,6 +382,7 @@ def trace_megakernel_sorted(
     rp = r + pad
     rows = rp // _LANES
 
+    debug_visits = bool(debug_visits and n_super)
     statics = dict(
         n_tri=n_tri_tbl, n_sph=int(scene.sph_center.shape[0]),
         n_mat=int(scene.num_materials), n_lights=int(scene.n_point_lights),
@@ -363,6 +391,7 @@ def trace_megakernel_sorted(
         block_rows=block_rows, dense_pair=dense_pair,
         cull_mode=int(scene.krn_cull_mode),
         big_cull_mode=int(scene.krn_big_cull_mode),
+        debug_visits=debug_visits,
     )
     max_depth = int(options.max_depth)
     lo = scene.root_lo
@@ -383,17 +412,24 @@ def trace_megakernel_sorted(
     )
 
     def cond(c):
-        depth, st, idx = c
+        depth, st, idx, vis = c
         return (depth < max_depth) & (jnp.max(st[17]) > 0.5)
 
     def step(c):
-        depth, st, idx = c
+        depth, st, idx, vis = c
         st2d = tuple(a.reshape(rows, _LANES) for a in st)
         seed_depth = jnp.stack([seed_i, depth])
-        st2d = _bounce_call(tables, seed_depth, st2d, **statics)
+        out = _bounce_call(tables, seed_depth, st2d, **statics)
+        if debug_visits:
+            st2d, v = out[:N_STATE], out[N_STATE]
+            vis = jax.lax.dynamic_update_slice(
+                vis, v[None], (depth, 0, 0)
+            )
+        else:
+            st2d = out
         st = tuple(a.reshape(-1) for a in st2d)
         if not sort:
-            return depth + 1, st, idx
+            return depth + 1, st, idx, vis
         key = _sort_key(st[1], st[2], st[3], st[4], st[5], st[6],
                         st[17], lo, hi)
 
@@ -422,9 +458,15 @@ def trace_megakernel_sorted(
             n_alive >= _SORT_MIN_ALIVE, do_sort, lambda ops: ops,
             (key,) + st + (idx,),
         )
-        return depth + 1, tuple(out[1:1 + N_STATE]), out[1 + N_STATE]
+        return depth + 1, tuple(out[1:1 + N_STATE]), out[1 + N_STATE], vis
 
-    _, st, idx = jax.lax.while_loop(cond, step, (jnp.int32(0), state, idx0))
+    vis0 = jnp.zeros(
+        (max_depth, rows // block_rows, 4) if debug_visits else (1, 1, 1),
+        jnp.int32,
+    )
+    _, st, idx, vis = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), state, idx0, vis0)
+    )
 
     # Un-permute by sorting on the original ray index.
     if _SORT_GLUE == "fused":
@@ -444,4 +486,6 @@ def trace_megakernel_sorted(
     spectrum = jnp.stack(
         [out_r, out_g, out_b, coll.astype(jnp.float32)], axis=-1
     )
+    if debug_visits:
+        return spectrum, coll, vis
     return spectrum, coll

@@ -131,6 +131,10 @@ def build_cache_key(*parts, env_knobs: bool = True) -> str:
         h.update(b"\x00")
     if env_knobs:
         for k in sorted(os.environ):
+            # Residency/runtime-policy knobs do not change packed-table
+            # layout; keying on them would force spurious rebuilds.
+            if k in ("PTX_KRN_CLB_VMEM_MB", "PTX_KRN_BLOCK_ROWS"):
+                continue
             if k.startswith("PTX_KRN_") or k == "PTX_KRN_MAX_TRIS":
                 h.update(f"{k}={os.environ[k]}".encode())
     return h.hexdigest()[:24]
