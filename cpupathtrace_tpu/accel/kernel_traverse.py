@@ -188,38 +188,53 @@ def pack_kernel_tables_np(cl_v0, cl_v1, cl_v2, cl_cull, cl_prim,
     clb[:, :, _B_HI:_B_HI + 3] = hi_g
     clb[:, :, _B_VALID] = valid.reshape(s, GROUP)
 
+    sup_pages, hyp = tiers_from_cluster_bounds(clb)
+    return rec, clb, sup_pages, hyp
+
+
+def _reduce_bounds_rows(lo, hi, vmask):
+    """[N, G, ...] -> [N, 128] bounds rows (lo3/hi3/valid) reducing the
+    group axis over valid members; empty groups carry valid = 0."""
+    n = lo.shape[0]
+    any_v = vmask.any(axis=1)
+    out = np.zeros((n, 128), np.float32)
+    out[:, _B_LO:_B_LO + 3] = np.where(
+        any_v[:, None], np.where(vmask[..., None], lo, np.inf).min(axis=1),
+        0.0,
+    )
+    out[:, _B_HI:_B_HI + 3] = np.where(
+        any_v[:, None], np.where(vmask[..., None], hi, -np.inf).max(axis=1),
+        0.0,
+    )
+    out[:, _B_VALID] = any_v.astype(np.float32)
+    return out
+
+
+def tiers_from_cluster_bounds(clb):
+    """Rebuild the supercluster pages + hyper bounds from a cluster-bounds
+    table [S, GROUP, 128] (lanes lo3/hi3/valid). Used at pack time and by
+    geometry-parallel sharding (parallel/geometry.py), where each shard's
+    upper tiers must bound only ITS supercluster slice."""
+    clb = np.asarray(clb, np.float32)
+    s = clb.shape[0]
+    sup_s = _reduce_bounds_rows(
+        clb[:, :, _B_LO:_B_LO + 3], clb[:, :, _B_HI:_B_HI + 3],
+        clb[:, :, _B_VALID] > 0.5,
+    )
     hp = -(-s // GROUP2)
     sp = hp * GROUP2
     sup = np.zeros((sp, 128), np.float32)
-    vmask = valid.reshape(s, GROUP) > 0.5
-    any_v = vmask.any(axis=1)
-    sup[:s, _B_LO:_B_LO + 3] = np.where(
-        any_v[:, None], np.where(vmask[..., None], lo_g, np.inf).min(axis=1), 0.0
-    )
-    sup[:s, _B_HI:_B_HI + 3] = np.where(
-        any_v[:, None], np.where(vmask[..., None], hi_g, -np.inf).max(axis=1), 0.0
-    )
-    sup[:s, _B_VALID] = any_v.astype(np.float32)
+    sup[:s] = sup_s
     sup_pages = sup.reshape(hp, GROUP2, 128)
 
     hp8 = -(-hp // 8) * 8
     hyp = np.zeros((hp8, 128), np.float32)
-    pmask = np.zeros(sp, bool)
-    pmask[:s] = any_v
-    pmask = pmask.reshape(hp, GROUP2)
-    p_any = pmask.any(axis=1)
-    slo = sup[:, _B_LO:_B_LO + 3].reshape(hp, GROUP2, 3)
-    shi = sup[:, _B_HI:_B_HI + 3].reshape(hp, GROUP2, 3)
-    hyp[:hp, _B_LO:_B_LO + 3] = np.where(
-        p_any[:, None],
-        np.where(pmask[..., None], slo, np.inf).min(axis=1), 0.0,
+    hyp[:hp] = _reduce_bounds_rows(
+        sup.reshape(hp, GROUP2, 128)[:, :, _B_LO:_B_LO + 3],
+        sup.reshape(hp, GROUP2, 128)[:, :, _B_HI:_B_HI + 3],
+        sup.reshape(hp, GROUP2, 128)[:, :, _B_VALID] > 0.5,
     )
-    hyp[:hp, _B_HI:_B_HI + 3] = np.where(
-        p_any[:, None],
-        np.where(pmask[..., None], shi, -np.inf).max(axis=1), 0.0,
-    )
-    hyp[:hp, _B_VALID] = p_any.astype(np.float32)
-    return rec, clb, sup_pages, hyp
+    return sup_pages, hyp
 
 
 def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat,

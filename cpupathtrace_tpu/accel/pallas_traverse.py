@@ -729,3 +729,75 @@ def binned_intersect_ref(scene: SceneData, o, d, t_max=None, live=None,
         p = jnp.where(miss, -1, p)
     hit = (p >= 0) & jnp.isfinite(t)
     return jnp.where(hit, t, -1.0), jnp.where(hit, p, -1)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel traversal as a standalone wavefront intersector (gp fast path)
+# ---------------------------------------------------------------------------
+
+def krn_intersect(scene: SceneData, o, d, t_max=None, live=None,
+                  any_hit: bool = False, interpret: bool = False):
+    """Same contract as binned_intersect_tpu, but the clustered mesh is
+    resolved by the in-kernel tiered traversal (accel/kernel_traverse.py)
+    instead of the binned sort/bin pipeline — zero per-query glue, exact
+    over any cluster subset. This is the per-shard intersector for
+    geometry-parallel rendering (parallel/geometry.py): min-over-shards of
+    exact local nearest hits is the exact global nearest, and the records
+    carry GLOBAL prim ids so the replicated estimator shades winners from
+    the replicated tri tables. Also serves lean-built scenes, whose
+    binned-wavefront tables were never packed.
+
+    Ref analog: none — the reference shares one BVH across threads
+    (src/worker.cpp:364-387); primitive sharding has no C++ counterpart.
+    """
+    from ..accel.kernel_traverse import cluster_intersect_kernel
+
+    if scene.krn_records.ndim == 4:
+        # Inside a shard_map body the stacked kernel tables arrive with a
+        # local leading length-1 shard axis — peel it.
+        import dataclasses
+
+        scene = dataclasses.replace(
+            scene,
+            krn_records=scene.krn_records[0],
+            krn_cl_bounds=scene.krn_cl_bounds[0],
+            krn_sup_bounds=scene.krn_sup_bounds[0],
+            krn_hyp_bounds=scene.krn_hyp_bounds[0],
+        )
+    o = jax.lax.stop_gradient(jnp.asarray(o, jnp.float32))
+    d = jax.lax.stop_gradient(jnp.asarray(d, jnp.float32))
+    if t_max is not None:
+        t_max = jax.lax.stop_gradient(t_max)
+
+    t0, p0 = _dense_part(scene, o, d)  # (inf, -1) on miss
+    if t_max is not None:
+        miss = t0 >= t_max
+        t0 = jnp.where(miss, jnp.inf, t0)
+        p0 = jnp.where(miss, -1, p0)
+
+    # Pruning bound for the cluster query: the dense hit (or the shadow
+    # limit) — lanes below it never descend. Dead lanes carry 0 so the
+    # kernel's root gate drops them outright; for visibility queries a
+    # dense occluder already decides, so those lanes go inactive too.
+    lim = t0 if t_max is None else jnp.minimum(t0, t_max)
+    if live is not None:
+        lim = jnp.where(live, lim, 0.0)
+    if any_hit:
+        lim = jnp.where(p0 >= 0, 0.0, lim)
+
+    t1, p1 = cluster_intersect_kernel(
+        scene, o, d, t_max=lim, any_hit=any_hit, interpret=interpret
+    )
+
+    if any_hit:
+        occ = (p1 >= 0) | (p0 >= 0)
+        # Any in-range hit decides; report the dense t where known, else
+        # the kernel's sentinel (callers only consume p >= 0).
+        t = jnp.where(p0 >= 0, t0, t1)
+        return jnp.where(occ, t, -1.0), jnp.where(occ, jnp.maximum(p1, p0), -1)
+
+    hit1 = p1 >= 0
+    t = jnp.where(hit1, t1, t0)
+    p = jnp.where(hit1, p1, p0)
+    hit = (p >= 0) & jnp.isfinite(t)
+    return jnp.where(hit, t, -1.0), jnp.where(hit, p, -1)

@@ -278,8 +278,21 @@ _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
 _REC_CONDS = os.environ.get("PTX_REC_CONDS", "0") == "1"
 # Shadow (any-hit) record tests keep their own knob: NEE relevance is
 # sparse per row (specular hits opt out with t_lim = 0), so row conds can
-# pay there even when the nearest pass is row-coherent.
-_REC_CONDS_SHADOW = os.environ.get("PTX_REC_CONDS_SHADOW", "0") == "1"
+# pay there even when the nearest pass is row-coherent. Default "auto":
+# ON for 128-triangle records (full-scale meshes — measured +4.3% on the
+# 7.2M dragon frame, round 4), OFF below (measured within-noise-or-worse
+# at the 200k bench's 56-tri records, round 3). NB the NEAREST-pass conds
+# (PTX_REC_CONDS) are not only slower but blow up the Mosaic compile
+# (>30 min, killed) at full scale — keep them off.
+_REC_CONDS_SHADOW = os.environ.get("PTX_REC_CONDS_SHADOW", "auto")
+
+
+def _shadow_conds(rec) -> bool:
+    """Resolve the shadow row-cond policy for a record table."""
+    if _REC_CONDS_SHADOW == "auto":
+        rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
+        return rows >= 128
+    return _REC_CONDS_SHADOW == "1"
 # Comma-separated kernel-body ablations for perf bisection (profiling only):
 # "nee" drops next-event estimation, "bigpair" drops the big-partition pair
 # tests, "prop" replaces BSDF sampling with straight-through propagation,
@@ -504,7 +517,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         sox, soy, soz, ldx, ldy, ldz,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
-                        visit_ref=vis_ref, rec_conds=_REC_CONDS_SHADOW,
+                        visit_ref=vis_ref, rec_conds=_shadow_conds(rec_hbm),
                         clb_resident=clb_vmem, cull_mode=cull_mode,
                     )
                     visible = visible & ~occ
@@ -650,7 +663,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     cat(7), jnp.zeros((len(sh) * shp[0], shp[1]),
                                       jnp.float32),
                     n_super=n_super,
-                    visit_ref=vis_ref, rec_conds=_REC_CONDS_SHADOW,
+                    visit_ref=vis_ref, rec_conds=_shadow_conds(rec_hbm),
                     clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
                 r0 = shp[0]

@@ -19,6 +19,8 @@ Two scene intersectors are provided:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -446,11 +448,31 @@ def scene_intersect(scene: SceneData, o, d, t_max=None, live=None,
       * any_hit: the returned hit need not be the nearest (visibility)
     """
     if scene.accel == "binned":
+        # The in-kernel tiered traversal as the per-query intersector:
+        # zero sort/bin glue, exact over any cluster subset. Used for
+        # geometry-parallel shards (each shard owns a supercluster slice;
+        # parallel/geometry.py), for lean-built scenes (no binned tables),
+        # or forced via PTX_WAVEFRONT_KRN=1. Pallas only runs on TPU; off
+        # TPU it runs in interpret mode (slow — tests/dryruns only).
+        use_krn = scene.has_kernel_records and (
+            scene.gp_axis is not None
+            or scene.lean
+            or os.environ.get("PTX_WAVEFRONT_KRN", "0") == "1"
+        )
+        if use_krn:
+            from ..accel.pallas_traverse import krn_intersect
+
+            t, p = krn_intersect(
+                scene, o, d, t_max=t_max, live=live, any_hit=any_hit,
+                interpret=not _on_tpu(),
+            )
+            if scene.gp_axis is not None:
+                t, p = _gp_combine(t, p, scene.gp_axis)
+            return t, p
         if scene.lean:
             raise ValueError(
-                "lean-built scene: the binned-wavefront tables were not "
-                "packed (build(lean=True) serves only the megakernel "
-                "path); rebuild with lean=False for jnp/binned rendering"
+                "lean-built scene without kernel records: rebuild with "
+                "lean=False for jnp/binned rendering"
             )
         from ..accel.pallas_traverse import (
             binned_intersect_ref,

@@ -50,16 +50,27 @@ def test_lean_megakernel_dispatchable(pair):
     assert megakernel_supported(lean)
 
 
-def test_lean_fallback_raises(pair):
+def test_lean_dispatches_kernel_traversal(pair):
+    """Round 4: lean scenes are no longer wavefront-dead — scene_intersect
+    routes them through the in-kernel tiered traversal (krn_intersect),
+    matching the full build's binned intersector exactly."""
     import jax.numpy as jnp
 
     from cpupathtrace_tpu.ops.intersect import scene_intersect
 
-    _, lean = pair
-    o = jnp.zeros((8, 3), jnp.float32)
-    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
-    with pytest.raises(ValueError, match="lean"):
-        scene_intersect(lean, o, d)
+    full, lean = pair
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                    jnp.float32)
+    t_l, p_l = scene_intersect(lean, o, d)
+    t_f, p_f = scene_intersect(full, o, d)
+    np.testing.assert_allclose(
+        np.asarray(t_l), np.asarray(t_f), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_l), np.asarray(p_f))
+    assert int((np.asarray(p_l) >= 0).sum()) > 10
 
 
 def test_lean_rejects_non_binned():
