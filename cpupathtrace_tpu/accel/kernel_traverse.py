@@ -587,17 +587,35 @@ _N_BUCKETS = min(8, max(1, int(os.environ.get("PTX_KRN_BUCKETS", "4"))))  # 1 = 
 REC_QUEUE = max(2, int(os.environ.get("PTX_REC_QUEUE", "4")))
 
 # Cluster-bounds pages ([S, 32, 128] f32 = S * 16 KB) are kept whole in
-# VMEM below this budget (dragon bench: S = 97 -> 1.55 MB), eliminating a
-# synchronous 16 KB DMA stall per supercluster descend (~115k/frame on the
-# dragon). Giant meshes (7.2M tris: S ~ 3.5k -> 56 MB) keep the DMA path.
+# VMEM below this budget (dragon bench: S = 97 -> 1.55 MB; the 7.2M
+# 128-tri build: S = 2049 -> 33.6 MB), eliminating a synchronous 16 KB
+# DMA stall per supercluster descend. Default 40 MB covers the full-scale
+# benchmark (measured +4.4% on the 7.2M frame, round 4; the per-kernel
+# vmem_limit_bytes bump in the callers keeps Mosaic happy). Meshes whose
+# table exceeds the budget keep the DMA path.
 _CLB_VMEM_BYTES = int(
-    float(os.environ.get("PTX_KRN_CLB_VMEM_MB", "4")) * (1 << 20)
+    float(os.environ.get("PTX_KRN_CLB_VMEM_MB", "40")) * (1 << 20)
 )
 
 
 def clb_fits_vmem(clb) -> bool:
     """Residency policy for the cluster-bounds table (see _CLB_VMEM_BYTES)."""
     return int(np.prod(clb.shape)) * 4 <= _CLB_VMEM_BYTES
+
+
+def clb_compiler_params(clb, clb_resident: bool):
+    """Per-kernel Mosaic VMEM-limit bump for a resident cluster-bounds
+    table: a 33.6 MB table (7.2M tris) exceeds the default scoped-VMEM
+    budget; raise the per-kernel limit (v5e VMEM is 128 MiB) instead of
+    globally via XLA flags. Returns None when no bump is needed."""
+    if not clb_resident:
+        return None
+    need = int(np.prod(clb.shape)) * 4
+    if need <= 8 * (1 << 20):
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(need + (1 << 25), 112 * (1 << 20))
+    )
 # SMEM scratch slots for packed masks. The layout (asserted in
 # _scan_pipelined) is n_buckets * ceil(hp8/23) hyper masks + n_sb
 # supercluster-bucket masks + ceil(GROUP/23) cluster masks; at the caps
@@ -1088,6 +1106,7 @@ def _single_call(sup, hyp, clb, records, comps, lim, n_super,
             pltpu.SemaphoreType.DMA((REC_QUEUE,)),
         ],
         interpret=interpret,
+        compiler_params=clb_compiler_params(clb, clb_resident),
     )(sup, hyp, clb, records, *comps, lim)
 
 

@@ -169,6 +169,112 @@ def render_chunk(
     )
 
 
+@partial(jax.jit, static_argnames=("options", "spp_batch", "k_batches"))
+def render_chunk_batched(
+    scene: SceneData,
+    camera: Camera,
+    options: RenderOptions,
+    x_cam: jnp.ndarray,
+    y_cam: jnp.ndarray,
+    key,
+    spp_batch: int,
+    k_batches: int,
+    pixel_order=None,
+):
+    """`k_batches` adaptive stats batches in ONE device launch: renders
+    k_batches * spp_batch samples and returns per-batch
+    (sums [K, P, 4], counts [K, P]) so the host-side adaptive driver
+    launches K times fewer programs (each launch over the TPU tunnel
+    costs ~milliseconds of dispatch + sync). k_batches=1 is bitwise
+    identical to render_chunk(spp=spp_batch)."""
+    p = x_cam.shape[0]
+    spp = spp_batch * k_batches
+    if pixel_order is not None:
+        xs = jnp.repeat(x_cam[pixel_order], spp)
+        ys = jnp.repeat(y_cam[pixel_order], spp)
+    else:
+        xs = jnp.tile(x_cam, spp)
+        ys = jnp.tile(y_cam, spp)
+    k_cam, k_trace = jax.random.split(key)
+    rays = shoot_rays(
+        camera, xs, ys, 1.0 / options.image_width,
+        1.0 / options.image_height, k_cam,
+    )
+    spectrum, collected = _dispatch_trace(
+        scene, rays, options, k_trace, False
+    )
+    if pixel_order is not None:
+        # Pixel-major: [P, K, spp_batch] sample groups per pixel.
+        spectrum = spectrum.reshape(p, k_batches, spp_batch, 4)
+        collected = collected.reshape(p, k_batches, spp_batch)
+        s = jnp.sum(jnp.where(collected[..., None], spectrum, 0.0), axis=2)
+        c = jnp.sum(collected.astype(jnp.int32), axis=2)
+        s = jnp.moveaxis(s, 0, 1)  # [K, P, 4]
+        c = jnp.moveaxis(c, 0, 1)  # [K, P]
+        inv = jnp.zeros_like(pixel_order).at[pixel_order].set(
+            jnp.arange(p, dtype=pixel_order.dtype)
+        )
+        return s[:, inv], c[:, inv]
+    spectrum = spectrum.reshape(k_batches, spp_batch, p, 4)
+    collected = collected.reshape(k_batches, spp_batch, p)
+    return (
+        jnp.sum(jnp.where(collected[..., None], spectrum, 0.0), axis=1),
+        jnp.sum(collected.astype(jnp.int32), axis=1),
+    )
+
+
+@partial(jax.jit, static_argnames=("kb", "min_sc", "check"))
+def _apply_stats_batches(s_b, coll_b, c0, pixel_sum, n_collected, frozen,
+                         accepted, remaining, stats_means, stats_valid,
+                         kb, min_sc, check):
+    """Sequentially fold `kb` stats-batch results into the adaptive state
+    (same per-batch logic the unfused loop ran between launches —
+    ref: worker.cpp:200-259 Welford batches + consecutive-pass rule).
+    Returns the updated state plus the all-frozen early-break flag."""
+    for j in range(kb):
+        s = s_b[j]
+        coll = coll_b[j]
+        c = c0 + j
+        live = ~frozen
+        pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
+        n_collected = jnp.where(live, n_collected + coll, n_collected)
+        chunk_mean = s / jnp.maximum(coll, 1)[:, None]
+        chunk_ok = live & (coll > 0)
+        stats_means = jax.lax.dynamic_update_index_in_dim(
+            stats_means, jnp.where(chunk_ok[:, None], chunk_mean, 0.0), c, 1
+        )
+        stats_valid = jax.lax.dynamic_update_index_in_dim(
+            stats_valid, chunk_ok, c, 1
+        )
+
+        ns = jnp.sum(stats_valid, axis=1)
+        safe_ns = jnp.maximum(ns, 1)
+        mean = jnp.sum(
+            jnp.where(stats_valid[..., None], stats_means, 0.0), axis=1
+        ) / safe_ns[:, None]
+        dev = jnp.where(
+            stats_valid[..., None], stats_means - mean[:, None, :], 0.0
+        )
+        m2 = jnp.sum(dev * dev, axis=1)
+        m2w = m2 / jnp.maximum(ns - 1, 1)[:, None]
+        stddev = jnp.sqrt(m2w[..., 0] + m2w[..., 1] + m2w[..., 2])
+        mean_contrib = (mean[..., 0] + mean[..., 1] + mean[..., 2]) / 3.0
+
+        checkable = live & (n_collected >= min_sc) & (ns >= 2)
+        passed = checkable & (
+            (stddev < 1e-4)
+            | (stddev / (3.0 * 3.0 * mean_contrib + 1e-5) < 0.2)
+        )
+        remaining = jnp.where(
+            passed, remaining - 1, jnp.where(checkable, check, remaining)
+        )
+        newly_accepted = passed & (remaining <= 0)
+        accepted = accepted | newly_accepted
+        frozen = frozen | newly_accepted
+    return (pixel_sum, n_collected, frozen, accepted, remaining,
+            stats_means, stats_valid, jnp.all(frozen | accepted))
+
+
 def _candidate_select(stats_means, stats_valid, cbc, fallback, min_count):
     """Biased candidate selection (ref: worker.cpp:273-317), vectorized.
 
@@ -241,56 +347,55 @@ def render_tile(
     stats_means = jnp.zeros((p, max(n_full, 1), 4))
     stats_valid = jnp.zeros((p, max(n_full, 1)), bool)
 
-    # Early-break flags are consumed LAGGED: chunk c's all-frozen scalar
-    # is checked only after chunk c+K was enqueued, so the device keeps
-    # K chunks in flight while the flag's device->host round trip
-    # (~134 ms over the TPU tunnel — measured, memory/
-    # tpu-measurement-pitfalls) rides under their compute. Worst case K
-    # extra chunks run after convergence — frozen pixels no longer
-    # accumulate, so the output is bitwise unchanged.
-    flag_lag = 3
+    # LAUNCH FUSION: render PTX_ADAPTIVE_FUSE stats batches per device
+    # launch (render_chunk_batched) and fold their per-batch sums into the
+    # adaptive state with ONE jitted update (_apply_stats_batches) — the
+    # per-batch freeze/accept semantics are applied sequentially inside
+    # it, so the estimator is unchanged while the demo's 16-64 spp config
+    # drops from 16 launches to 4. Fuse=1 reproduces the unfused RNG
+    # stream bitwise.
+    import os
+
+    fuse = max(1, int(os.environ.get("PTX_ADAPTIVE_FUSE", "4")))
+
+    # Early-break flags are consumed LAGGED: launch L's all-frozen scalar
+    # is checked only after launch L+K was enqueued, so the device keeps
+    # K launches in flight while the flag's device->host round trip
+    # (~134 ms over the TPU tunnel — measured) rides under their compute.
+    # Worst case K extra launches run after convergence — frozen pixels
+    # no longer accumulate, so the output is bitwise unchanged.
+    flag_lag = 3 if fuse == 1 else 1
     pending_flags: list = []
 
+    n_launches = math.ceil(n_full / fuse) if n_full else 0
     keys = jax.random.split(key, n_full + 1)
-    for c in range(n_full):
-        s, coll = render_chunk(scene, camera, options, x_cam, y_cam, keys[c],
-                               stats, pixel_order=pixel_order)
-        live = ~frozen
-        pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
-        n_collected = jnp.where(live, n_collected + coll, n_collected)
-        chunk_mean = s / jnp.maximum(coll, 1)[:, None]
-        chunk_ok = live & (coll > 0)
-        stats_means = stats_means.at[:, c].set(jnp.where(chunk_ok[:, None], chunk_mean, 0.0))
-        stats_valid = stats_valid.at[:, c].set(chunk_ok)
-
-        # Convergence check (ref: worker.cpp:239-259): after each completed
-        # stats batch once >= max(min_sample_count, 2) samples collected.
-        ns = jnp.sum(stats_valid, axis=1)
-        safe_ns = jnp.maximum(ns, 1)
-        mean = jnp.sum(
-            jnp.where(stats_valid[..., None], stats_means, 0.0), axis=1
-        ) / safe_ns[:, None]
-        dev = jnp.where(stats_valid[..., None], stats_means - mean[:, None, :], 0.0)
-        m2 = jnp.sum(dev * dev, axis=1)
-        m2w = m2 / jnp.maximum(ns - 1, 1)[:, None]
-        stddev = jnp.sqrt(m2w[..., 0] + m2w[..., 1] + m2w[..., 2])
-        mean_contrib = (mean[..., 0] + mean[..., 1] + mean[..., 2]) / 3.0
-
-        checkable = live & (n_collected >= min_sc) & (ns >= 2)
-        passed = checkable & (
-            (stddev < 1e-4) | (stddev / (3.0 * 3.0 * mean_contrib + 1e-5) < 0.2)
+    c0 = 0
+    for li in range(n_launches):
+        kb = min(fuse, n_full - c0)
+        if kb == 1:
+            s, coll = render_chunk(
+                scene, camera, options, x_cam, y_cam, keys[li], stats,
+                pixel_order=pixel_order,
+            )
+            s_b, coll_b = s[None], coll[None]
+        else:
+            s_b, coll_b = render_chunk_batched(
+                scene, camera, options, x_cam, y_cam, keys[li], stats, kb,
+                pixel_order=pixel_order,
+            )
+        (pixel_sum, n_collected, frozen, accepted, remaining,
+         stats_means, stats_valid, flag) = _apply_stats_batches(
+            s_b, coll_b, jnp.int32(c0), pixel_sum, n_collected, frozen,
+            accepted, remaining, stats_means, stats_valid,
+            kb=kb, min_sc=min_sc, check=check,
         )
-        remaining = jnp.where(passed, remaining - 1, jnp.where(checkable, check, remaining))
-        newly_accepted = passed & (remaining <= 0)
-        accepted = accepted | newly_accepted
-        frozen = frozen | newly_accepted
+        c0 += kb
 
-        # Early break saves whole chunks only in adaptive mode; for
+        # Early break saves whole launches only in adaptive mode; for
         # fixed-spp renders skip the flags entirely. The host check is
-        # PIPELINED (see flag_lag above): enqueue this chunk's flag
-        # asynchronously, consume the one from K chunks ago.
-        if max_sc > min_sc and c >= (min_sc // stats - 1):
-            flag = jnp.all(frozen | accepted)
+        # PIPELINED (see flag_lag above): enqueue this launch's flag
+        # asynchronously, consume the one from K launches ago.
+        if max_sc > min_sc and c0 >= (min_sc // stats):
             try:
                 flag.copy_to_host_async()
             except AttributeError:  # non-jax.Array backends (tracing)

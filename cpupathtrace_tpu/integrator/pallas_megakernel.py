@@ -45,6 +45,7 @@ from ..accel.kernel_traverse import (
     REC_LANES,
     REC_QUEUE,
     _moment,
+    clb_compiler_params,
     clb_fits_vmem,
     pair_test_anyhit,
     pair_test_nearest,
@@ -1090,6 +1091,7 @@ def _mega_call(tables, seed, comps, n_tri, n_sph, n_mat, n_lights, n_em,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        compiler_params=clb_compiler_params(clb, clb_vmem),
     )(*table_args, *comps)
 
 

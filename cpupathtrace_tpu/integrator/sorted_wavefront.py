@@ -44,6 +44,7 @@ from ..accel.kernel_traverse import (
     PAIR_COLS,
     REC_LANES,
     REC_QUEUE,
+    clb_compiler_params,
     clb_fits_vmem,
 )
 from ..core.config import RenderOptions
@@ -301,16 +302,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
             jax.ShapeDtypeStruct((grid[0], 4), jnp.int32)
         ]
         scratch = scratch + [pltpu.SMEM((4,), jnp.int32)]
-    # A VMEM-resident cluster-bounds table (33 MB at 7.2M tris) exceeds
-    # Mosaic's default scoped-VMEM budget; raise the per-kernel limit
-    # (v5e VMEM is 128 MiB) instead of globally via XLA flags.
-    params = None
-    if clb_vmem:
-        need = int(np.prod(clb.shape)) * 4
-        if need > 8 * (1 << 20):
-            params = pltpu.CompilerParams(
-                vmem_limit_bytes=min(need + (1 << 25), 112 * (1 << 20))
-            )
+    params = clb_compiler_params(clb, clb_vmem)
     return pl.pallas_call(
         kernel,
         grid=grid,

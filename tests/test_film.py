@@ -157,3 +157,84 @@ def test_morton_perm_is_tile_local():
     first = set(perm[:4].tolist())
     assert first == {0, 1, 16, 17}
     assert sorted(perm.tolist()) == list(range(256))
+
+
+# ---------------------------------------------------------------------------
+# Fused adaptive launches (round 4): render_chunk_batched + the jitted
+# per-batch state fold must reproduce the unfused chunk semantics.
+# ---------------------------------------------------------------------------
+
+def test_render_chunk_batched_k1_bitwise_equals_chunk():
+    from cpupathtrace_tpu.integrator.film import (
+        morton_perm,
+        render_chunk,
+        render_chunk_batched,
+    )
+
+    scene = _box_scene()
+    cam = make_camera((0, 0, -2.8), (0, 0, 1), (0, 1, 0), 1.0, 1.0)
+    opts = RenderOptions(8, 8, 4, 4, epsilon=1e-3, max_depth=5)
+    xg, yg = np.meshgrid(np.arange(8, dtype=np.float32), np.arange(8, dtype=np.float32))
+    from cpupathtrace_tpu.integrator.film import pixel_camera_coords
+
+    x, y = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    x, y = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    key = jax.random.PRNGKey(11)
+    s, c = render_chunk(scene, cam, opts, x, y, key, 4)
+    s_b, c_b = render_chunk_batched(scene, cam, opts, x, y, key, 4, 1)
+    np.testing.assert_array_equal(np.asarray(s_b[0]), np.asarray(s))
+    np.testing.assert_array_equal(np.asarray(c_b[0]), np.asarray(c))
+
+    perm = jnp.asarray(morton_perm(xg.ravel(), yg.ravel()), jnp.int32)
+    s, c = render_chunk(scene, cam, opts, x, y, key, 4, pixel_order=perm)
+    s_b, c_b = render_chunk_batched(
+        scene, cam, opts, x, y, key, 4, 1, pixel_order=perm
+    )
+    np.testing.assert_array_equal(np.asarray(s_b[0]), np.asarray(s))
+    np.testing.assert_array_equal(np.asarray(c_b[0]), np.asarray(c))
+
+
+def test_render_chunk_batched_total_matches_wide_chunk():
+    """The K per-batch sums partition one K*spp chunk's samples: their
+    total must equal render_chunk(spp=K*spp) with the same key bitwise
+    (identical ray stream, just grouped)."""
+    from cpupathtrace_tpu.integrator.film import (
+        render_chunk,
+        render_chunk_batched,
+    )
+
+    scene = _box_scene()
+    cam = make_camera((0, 0, -2.8), (0, 0, 1), (0, 1, 0), 1.0, 1.0)
+    opts = RenderOptions(8, 8, 4, 4, epsilon=1e-3, max_depth=5)
+    from cpupathtrace_tpu.integrator.film import pixel_camera_coords
+
+    xg, yg = np.meshgrid(np.arange(8, dtype=np.float32), np.arange(8, dtype=np.float32))
+    x, y = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    x, y = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    s_b, c_b = render_chunk_batched(scene, cam, opts, x, y, key, 4, 3)
+    s_w, c_w = render_chunk(scene, cam, opts, x, y, key, 12)
+    np.testing.assert_allclose(
+        np.asarray(s_b.sum(axis=0)), np.asarray(s_w), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_b.sum(axis=0)), np.asarray(c_w)
+    )
+
+
+def test_adaptive_fuse_levels_agree(monkeypatch):
+    """Full adaptive renders at fuse=1 (legacy launch-per-batch) and
+    fuse=4 draw different sample streams but identical estimator
+    semantics: exact coverage, means within MC tolerance."""
+    import cpupathtrace_tpu as ptx
+
+    scene = _box_scene()
+    cam = make_camera((0, 0, -2.8), (0, 0, 1), (0, 1, 0), 1.0, 1.0)
+    opts = RenderOptions(16, 16, 16, 64, epsilon=1e-3, max_depth=8)
+    monkeypatch.setenv("PTX_ADAPTIVE_FUSE", "1")
+    img1 = ptx.render(scene, cam, opts, seed=5)
+    monkeypatch.setenv("PTX_ADAPTIVE_FUSE", "4")
+    img4 = ptx.render(scene, cam, opts, seed=5)
+    np.testing.assert_array_equal(img1[..., 3], img4[..., 3])
+    d = abs(float(img1[..., :3].mean()) - float(img4[..., :3].mean()))
+    assert d < 0.15 * max(float(img1[..., :3].mean()), 1e-6)
