@@ -70,10 +70,12 @@ _MAX_EM = 256
 # Supercluster cap: since the hyper tier, per-query fixed work scales with
 # Hp = ceil(S/16) pages (the hyper pair-slab + scr_eh scratch), not S, so
 # the cap mainly bounds VMEM scratch (scr_eh [S/16, em_k*8, 128] f32 —
-# ~4 MB at 4096 sups) and the SMEM bitmask slot budget
-# (kernel_traverse.MASK_SLOTS). 4096 sups * 32 clusters * 64-tri records
-# = ~8M triangles through the in-kernel traversal.
-_MAX_SUP = 4096
+# ~2.4 MB at 4608 sups) and the SMEM bitmask slot budget
+# (kernel_traverse.MASK_SLOTS: hp8 = 288 -> 13 hyper masks; worst case
+# 8 buckets * 13 + 8 sup-bucket + 2 cluster = 114 <= 128). 4608 sups *
+# 32 clusters * 64-tri records = ~9.4M triangles through the in-kernel
+# traversal (the 7.2M benchmark at 64-tri records is 4097 sups).
+_MAX_SUP = 4608
 
 # Table row layouts (all f32):
 # tri: v0(0:3) e1(3:6) e2(6:9) cull(9) valid(10) n0(11:14) n1(14:17) n2(17:20)
@@ -276,24 +278,33 @@ _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
 # more as the surrounding live state grows. Measured on the dragon bench
 # (round 3): blocks are row-coherent — the conds almost never skip and cost
 # ~3% of the frame, so they default OFF.
-_REC_CONDS = os.environ.get("PTX_REC_CONDS", "0") == "1"
-# Shadow (any-hit) record tests keep their own knob: NEE relevance is
-# sparse per row (specular hits opt out with t_lim = 0), so row conds can
-# pay there even when the nearest pass is row-coherent. Default "auto":
-# ON for 128-triangle records (full-scale meshes — measured +4.3% on the
-# 7.2M dragon frame, round 4), OFF below (measured within-noise-or-worse
-# at the 200k bench's 56-tri records, round 3). NB the NEAREST-pass conds
-# (PTX_REC_CONDS) are not only slower but blow up the Mosaic compile
-# (>30 min, killed) at full scale — keep them off.
+# Per-row lax.cond gating of the record pair tests. Default "auto": ON
+# for 128-triangle records (full-scale meshes — bracketed A/B on the
+# 7.2M dragon, round 4: nearest conds -12% frame, shadow conds -3%),
+# OFF below (measured slower at the 200k bench's 56-tri records, round
+# 3: short records make the cond region overhead exceed the skipped
+# work). Round-3 lore said nearest conds hang the Mosaic compile at
+# full scale — disproved in round 4 (the "hang" was the 4.9 GB scene
+# upload over the dev tunnel; the real compile is ~12 s, see
+# benchmarks/experiments/aot_compile_test.py).
+_REC_CONDS = os.environ.get("PTX_REC_CONDS", "auto")
 _REC_CONDS_SHADOW = os.environ.get("PTX_REC_CONDS_SHADOW", "auto")
 
 
-def _shadow_conds(rec) -> bool:
-    """Resolve the shadow row-cond policy for a record table."""
-    if _REC_CONDS_SHADOW == "auto":
+def _conds_policy(flag: str, rec) -> bool:
+    """Resolve a row-cond knob ("auto"/"0"/"1") for a record table."""
+    if flag == "auto":
         rows = rec.shape[1] if rec.ndim == 3 else REC_LANES
         return rows >= 128
-    return _REC_CONDS_SHADOW == "1"
+    return flag == "1"
+
+
+def _shadow_conds(rec) -> bool:
+    return _conds_policy(_REC_CONDS_SHADOW, rec)
+
+
+def _nearest_conds(rec) -> bool:
+    return _conds_policy(_REC_CONDS, rec)
 # Comma-separated kernel-body ablations for perf bisection (profiling only):
 # "nee" drops next-event estimation, "bigpair" drops the big-partition pair
 # tests, "prop" replaces BSDF sampling with straight-through propagation,
@@ -415,7 +426,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     bt, bp, nx, ny, nz, mid,
                     n_super=n_super,
                     want_normal_mat=True, active=alive_f,
-                    visit_ref=vis_ref, rec_conds=_REC_CONDS,
+                    visit_ref=vis_ref, rec_conds=_nearest_conds(rec_hbm),
                     clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
             hit = alive & (bp >= 0)

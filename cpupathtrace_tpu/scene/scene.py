@@ -732,11 +732,11 @@ class SceneBuilder:
                 )
             if not emissive_in_dense:
                 problems.append("emissive prims outside the dense partition")
-            if krn_cl_bounds.shape[0] > 4096:
+            if krn_cl_bounds.shape[0] > 4608:
                 # pallas_megakernel._MAX_SUP (import here would be circular)
                 problems.append(
                     f"{krn_cl_bounds.shape[0]} superclusters exceed the "
-                    "megakernel cap (4096); raise PTX_KRN_CLUSTER"
+                    "megakernel cap (4608); raise PTX_KRN_CLUSTER"
                 )
             if problems:
                 raise ValueError(
