@@ -57,6 +57,11 @@ VARIANTS = {
     "buckets8": {(kt, "_N_BUCKETS"): 8},
     "buckets1": {(kt, "_N_BUCKETS"): 1},
     "blockrows16": {"env_PTX_KRN_BLOCK_ROWS": "16"},
+    "halves": {(mk, "_REC_HALVES"): "1"},
+    "halves_m5": {(mk, "_REC_HALVES"): "1", (sw, "_MORTON_BITS"): 5},
+    "morton3": {(sw, "_MORTON_BITS"): 3},
+    "morton5": {(sw, "_MORTON_BITS"): 5},
+    "morton6": {(sw, "_MORTON_BITS"): 6},
 }
 
 

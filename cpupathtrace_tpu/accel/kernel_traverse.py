@@ -98,6 +98,41 @@ _C_CULL, _C_PRIM, _C_MAT, _C_N0 = 16, 17, 18, 19
 # Bounds-table lanes (both tiers): lo(0:3) hi(3:6) valid(6).
 _B_LO, _B_HI, _B_VALID = 0, 3, 6
 
+# Half-record sub-bounds (round 4): each record's triangle rows split in
+# two sublane-aligned halves (mid = (rows // 16) * 8) whose AABBs ride
+# the record's FREE feature lanes — row h (h = 0, 1) carries half h's
+# lo(28:31) / hi(31:34) / valid(34). The pair test block-gates each half
+# behind one scalar cond (pair_test_nearest/anyhit use_halves), skipping
+# half the pair math when a half's box is beyond every lane's bound.
+# Zero extra DMA: the bounds arrive inside the record itself.
+_C_HLO, _C_HHI, _C_HVALID = 28, 31, 34
+
+
+def _half_mid(rows: int) -> int:
+    """Sublane-aligned split row of a half-gated record."""
+    return (rows // 16) * 8
+
+
+def _write_half_bounds(rec, v0, v1, v2, live):
+    """Write per-half AABBs into rec[:, 0:2, 28:35] from [C, L, 3]
+    vertex arrays + [C, L] liveness. No-op for records too short to
+    split."""
+    l = v0.shape[1]
+    mid = _half_mid(l)
+    if mid < 8 or l - mid < 8:
+        return
+    for h, sl in enumerate((slice(0, mid), slice(mid, l))):
+        lv = live[:, sl]
+        any_v = lv.any(axis=1)
+        pts = np.stack(
+            [v0[:, sl], v1[:, sl], v2[:, sl]], axis=2
+        )  # [C, Lh, 3verts, 3]
+        lo = np.where(lv[..., None, None], pts, np.inf).min(axis=(1, 2))
+        hi = np.where(lv[..., None, None], pts, -np.inf).max(axis=(1, 2))
+        rec[:, h, _C_HLO:_C_HLO + 3] = np.where(any_v[:, None], lo, 0.0)
+        rec[:, h, _C_HHI:_C_HHI + 3] = np.where(any_v[:, None], hi, 0.0)
+        rec[:, h, _C_HVALID] = any_v.astype(np.float32)
+
 
 def pack_pair_record_np(v0, v1, v2, cull, prim, n0, n1, n2, mat,
                         rows=None):
@@ -271,6 +306,7 @@ def _pack_pair_records_batch(v0, v1, v2, cull, prim, n0, n1, n2, mat,
     blk[..., _C_N0 + 6:_C_N0 + 9] = n2
     rec = np.zeros((c, l, PAIR_COLS), np.float32) if out is None else out
     rec[:, :, :28] = blk
+    _write_half_bounds(rec, v0, v1, v2, live)
     return rec
 
 
@@ -393,9 +429,32 @@ def _pair_quantities(cols, ojx, ojy, ojz, djx, djy, djz, mjx, mjy, mjz,
     return sd, su, sv, st, ok
 
 
+def _half_need(cols_b, h, ox, oy, oz, dx, dy, dz, bound):
+    """Scalar gate for half `h` of a record: does ANY lane's slab entry
+    into the half's AABB (cols_b = feature columns 28..34, [T,1] each;
+    row h carries half h's bounds) fall below its pruning bound?"""
+    lo = [cols_b[a][h, 0] for a in range(3)]
+    hi = [cols_b[3 + a][h, 0] for a in range(3)]
+    valid = cols_b[6][h, 0] > 0.5
+    ix, iy, iz = _inv_dir(dx), _inv_dir(dy), _inv_dir(dz)
+    t1x, t2x = (lo[0] - ox) * ix, (hi[0] - ox) * ix
+    t1y, t2y = (lo[1] - oy) * iy, (hi[1] - oy) * iy
+    t1z, t2z = (lo[2] - oz) * iz, (hi[2] - oz) * iz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    enter = (tmax >= 0.0) & (tmin <= tmax) & (jnp.maximum(tmin, 0.0) < bound)
+    return valid & (jnp.max(jnp.where(enter, 1.0, 0.0)) > 0.5)
+
+
 def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                       state, *, want_normal_mat, enter_f=None,
-                      use_conds=True, cull_mode=-1):
+                      use_conds=True, cull_mode=-1, use_halves=False):
     """Nearest-hit pair test of one resident record against the whole
     (rows, 128) ray block. `col(i)` yields record feature column i as
     [T, 1]. state = (best_t, best_p, nx, ny, nz, mid) as (rows, 128)
@@ -405,131 +464,178 @@ def pair_test_nearest(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
     `use_conds=False` drops every per-row `lax.cond` in favor of
     unconditional masked selects — the right call for records that are
     (almost) always live: a Mosaic cond region costs more than the ~30
-    vector ops it would skip once the surrounding live state is large."""
+    vector ops it would skip once the surrounding live state is large.
+
+    `use_halves=True` additionally block-gates each sublane-aligned HALF
+    of the record behind one scalar cond against the per-half AABB packed
+    in feature lanes 28:35 (see _write_half_bounds) — half the pair math
+    skips whenever a half's box is beyond every lane's current bound.
+    Exact: skipped halves cannot contain a winning triangle."""
     rows = ox.shape[0]
     cols = [col(i) for i in range(17)]
     tri_rows = cols[0].shape[0]
-    tri_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (tri_rows, ox.shape[1]), 0
-    ).astype(jnp.float32)
 
-    def row_test(j, row_state):
-        def run(row_state):
-            btj = row_state[0]
-            sd, su, sv, st, ok = _pair_quantities(
-                cols,
-                ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
-                dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
-                mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
-                cull_mode=cull_mode,
-            )
-            # (Measured: an approx-reciprocal t here saves nothing — the
-            # [T, R] divide is not a bottleneck on v5e.)
-            tv = st / jnp.where(ok, sd, 1.0)
-            okf = ok & (tv < btj)
-            key = jnp.where(okf, tv, _INF)
-            tmin = jnp.min(key, axis=0, keepdims=True)      # [1, R]
-            improved = tmin < btj
+    def run_range(a, b, state):
+        cols_r = [c[a:b] for c in cols]
+        n_r = b - a
+        tri_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_r, ox.shape[1]), 0
+        ).astype(jnp.float32)
 
-            def extract(row_state):
-                btj, bpj, nxj, nyj, nzj, midj = row_state
-                # Unique winner: lowest triangle slot among exact-t ties
-                # (matches a serial scan's first-strict-improvement).
-                oh0 = key == tmin
-                tsel = jnp.min(
-                    jnp.where(oh0, tri_iota, jnp.float32(tri_rows)),
-                    axis=0, keepdims=True,
+        def row_test(j, row_state):
+            def run(row_state):
+                btj = row_state[0]
+                sd, su, sv, st, ok = _pair_quantities(
+                    cols_r,
+                    ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
+                    dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
+                    mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
+                    cull_mode=cull_mode,
                 )
-                ohf = jnp.where(oh0 & (tri_iota == tsel), 1.0, 0.0)
+                # (Measured: an approx-reciprocal t here saves nothing —
+                # the [T, R] divide is not a bottleneck on v5e.)
+                tv = st / jnp.where(ok, sd, 1.0)
+                okf = ok & (tv < btj)
+                key = jnp.where(okf, tv, _INF)
+                tmin = jnp.min(key, axis=0, keepdims=True)      # [1, R]
+                improved = tmin < btj
 
-                def pick(c):
-                    return jnp.sum(ohf * c, axis=0, keepdims=True)
-
-                prim_w = pick(col(_C_PRIM))
-                bpj = jnp.where(improved, prim_w.astype(jnp.int32), bpj)
-                if want_normal_mat:
-                    sdw = jnp.maximum(pick(sd), 1e-30)
-                    uw = pick(su) / sdw
-                    vw = pick(sv) / sdw
-                    w0 = 1.0 - uw - vw
-                    snx = (w0 * pick(col(_C_N0))
-                           + uw * pick(col(_C_N0 + 3))
-                           + vw * pick(col(_C_N0 + 6)))
-                    sny = (w0 * pick(col(_C_N0 + 1))
-                           + uw * pick(col(_C_N0 + 4))
-                           + vw * pick(col(_C_N0 + 7)))
-                    snz = (w0 * pick(col(_C_N0 + 2))
-                           + uw * pick(col(_C_N0 + 5))
-                           + vw * pick(col(_C_N0 + 8)))
-                    inv = jax.lax.rsqrt(
-                        snx * snx + sny * sny + snz * snz + 1e-30
+                def extract(row_state):
+                    btj, bpj, nxj, nyj, nzj, midj = row_state
+                    # Unique winner: lowest triangle slot among exact-t
+                    # ties (matches a serial scan's
+                    # first-strict-improvement; halves run low-to-high
+                    # rows and later halves need a STRICT improvement, so
+                    # cross-half exact ties keep the lower slot too).
+                    oh0 = key == tmin
+                    tsel = jnp.min(
+                        jnp.where(oh0, tri_iota, jnp.float32(n_r)),
+                        axis=0, keepdims=True,
                     )
-                    nxj = jnp.where(improved, snx * inv, nxj)
-                    nyj = jnp.where(improved, sny * inv, nyj)
-                    nzj = jnp.where(improved, snz * inv, nzj)
-                    mat_w = pick(col(_C_MAT))
-                    midj = jnp.where(
-                        improved, mat_w.astype(jnp.int32), midj
-                    )
-                btj = jnp.minimum(btj, tmin)
-                return btj, bpj, nxj, nyj, nzj, midj
+                    ohf = jnp.where(oh0 & (tri_iota == tsel), 1.0, 0.0)
 
-            if not use_conds:
-                # `extract` masks every update on `improved`, so running
-                # it unconditionally is exact.
-                return extract(row_state)
-            return jax.lax.cond(
-                jnp.max(jnp.where(improved, 1.0, 0.0)) > 0.5,
-                extract, lambda c: c, row_state,
-            )
+                    def pick(c):
+                        return jnp.sum(ohf * c[a:b], axis=0, keepdims=True)
 
-        if enter_f is None or not use_conds:
-            return run(row_state)
-        need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
-        return jax.lax.cond(need_row, run, lambda c: c, row_state)
+                    prim_w = pick(col(_C_PRIM))
+                    bpj = jnp.where(improved, prim_w.astype(jnp.int32), bpj)
+                    if want_normal_mat:
+                        sdw = jnp.maximum(
+                            jnp.sum(ohf * sd, axis=0, keepdims=True), 1e-30
+                        )
+                        uw = jnp.sum(ohf * su, axis=0, keepdims=True) / sdw
+                        vw = jnp.sum(ohf * sv, axis=0, keepdims=True) / sdw
+                        w0 = 1.0 - uw - vw
+                        snx = (w0 * pick(col(_C_N0))
+                               + uw * pick(col(_C_N0 + 3))
+                               + vw * pick(col(_C_N0 + 6)))
+                        sny = (w0 * pick(col(_C_N0 + 1))
+                               + uw * pick(col(_C_N0 + 4))
+                               + vw * pick(col(_C_N0 + 7)))
+                        snz = (w0 * pick(col(_C_N0 + 2))
+                               + uw * pick(col(_C_N0 + 5))
+                               + vw * pick(col(_C_N0 + 8)))
+                        inv = jax.lax.rsqrt(
+                            snx * snx + sny * sny + snz * snz + 1e-30
+                        )
+                        nxj = jnp.where(improved, snx * inv, nxj)
+                        nyj = jnp.where(improved, sny * inv, nyj)
+                        nzj = jnp.where(improved, snz * inv, nzj)
+                        mat_w = pick(col(_C_MAT))
+                        midj = jnp.where(
+                            improved, mat_w.astype(jnp.int32), midj
+                        )
+                    btj = jnp.minimum(btj, tmin)
+                    return btj, bpj, nxj, nyj, nzj, midj
 
-    out_rows = []
-    for j in range(rows):
-        row_state = tuple(a[j:j + 1, :] for a in state)
-        out_rows.append(row_test(j, row_state))
-    return tuple(
-        jnp.concatenate([r[i] for r in out_rows], axis=0)
-        for i in range(6)
-    )
+                if not use_conds:
+                    # `extract` masks every update on `improved`, so
+                    # running it unconditionally is exact.
+                    return extract(row_state)
+                return jax.lax.cond(
+                    jnp.max(jnp.where(improved, 1.0, 0.0)) > 0.5,
+                    extract, lambda c: c, row_state,
+                )
+
+            if enter_f is None or not use_conds:
+                return run(row_state)
+            need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
+            return jax.lax.cond(need_row, run, lambda c: c, row_state)
+
+        out_rows = []
+        for j in range(rows):
+            row_state = tuple(x[j:j + 1, :] for x in state)
+            out_rows.append(row_test(j, row_state))
+        return tuple(
+            jnp.concatenate([r[i] for r in out_rows], axis=0)
+            for i in range(6)
+        )
+
+    mid = _half_mid(tri_rows)
+    if not (use_halves and mid >= 8 and tri_rows - mid >= 8):
+        return run_range(0, tri_rows, state)
+    cols_b = [col(_C_HLO + i) for i in range(7)]
+    for h, (a, b) in enumerate(((0, mid), (mid, tri_rows))):
+        need = _half_need(cols_b, h, ox, oy, oz, dx, dy, dz, state[0])
+        state = jax.lax.cond(
+            need, lambda s, a=a, b=b: run_range(a, b, s),
+            lambda s: s, state,
+        )
+    return state
 
 
 def pair_test_anyhit(col, ox, oy, oz, dx, dy, dz, mx, my, mz,
                      t_lim, occ_f, *, enter_f=None, use_conds=True,
-                     cull_mode=-1):
+                     cull_mode=-1, use_halves=False):
     """Any-hit pair test of one resident record: returns the updated
     (rows, 128) occlusion mask (f32). The t division is avoided entirely:
     t < t_lim iff st < t_lim * sd (sd > 0 post-normalization).
-    `use_conds=False`: see pair_test_nearest."""
+    `use_conds=False` / `use_halves`: see pair_test_nearest."""
     rows = ox.shape[0]
     cols = [col(i) for i in range(17)]
+    tri_rows = cols[0].shape[0]
 
-    def row_test(j, occ_row_j):
-        def run(occ_row_j):
-            tlj = t_lim[j:j + 1, :]
-            sd, su, sv, st, ok = _pair_quantities(
-                cols,
-                ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
-                dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
-                mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
-                cull_mode=cull_mode,
-            )
-            hit = ok & (st < tlj * sd)
-            occ_row = jnp.max(jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True)
-            return jnp.maximum(occ_row_j, occ_row)
+    def run_range(a, b, occ_f):
+        cols_r = [c[a:b] for c in cols]
 
-        if enter_f is None or not use_conds:
-            return run(occ_row_j)
-        need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
-        return jax.lax.cond(need_row, run, lambda o: o, occ_row_j)
+        def row_test(j, occ_row_j):
+            def run(occ_row_j):
+                tlj = t_lim[j:j + 1, :]
+                sd, su, sv, st, ok = _pair_quantities(
+                    cols_r,
+                    ox[j:j + 1, :], oy[j:j + 1, :], oz[j:j + 1, :],
+                    dx[j:j + 1, :], dy[j:j + 1, :], dz[j:j + 1, :],
+                    mx[j:j + 1, :], my[j:j + 1, :], mz[j:j + 1, :],
+                    cull_mode=cull_mode,
+                )
+                hit = ok & (st < tlj * sd)
+                occ_row = jnp.max(
+                    jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True
+                )
+                return jnp.maximum(occ_row_j, occ_row)
 
-    return jnp.concatenate(
-        [row_test(j, occ_f[j:j + 1, :]) for j in range(rows)], axis=0
-    )
+            if enter_f is None or not use_conds:
+                return run(occ_row_j)
+            need_row = jnp.max(enter_f[j:j + 1, :]) > 0.5
+            return jax.lax.cond(need_row, run, lambda o: o, occ_row_j)
+
+        return jnp.concatenate(
+            [row_test(j, occ_f[j:j + 1, :]) for j in range(rows)], axis=0
+        )
+
+    mid = _half_mid(tri_rows)
+    if not (use_halves and mid >= 8 and tri_rows - mid >= 8):
+        return run_range(0, tri_rows, occ_f)
+    cols_b = [col(_C_HLO + i) for i in range(7)]
+    for h, (a, b) in enumerate(((0, mid), (mid, tri_rows))):
+        # Resolved lanes carry bound 0; a fully-occluded block skips both.
+        bound = jnp.where(occ_f > 0.5, 0.0, t_lim)
+        need = _half_need(cols_b, h, ox, oy, oz, dx, dy, dz, bound)
+        occ_f = jax.lax.cond(
+            need, lambda o, a=a, b=b: run_range(a, b, o),
+            lambda o: o, occ_f,
+        )
+    return occ_f
 
 
 # Bits packed per scalar mask: sums of DISTINCT powers of two up to 2^22
@@ -921,6 +1027,7 @@ def traverse_clusters(
     root=None,
     visit_ref=None,
     rec_conds=True,
+    rec_halves=False,
     clb_resident=False,
     cull_mode=-1,
 ):
@@ -957,6 +1064,7 @@ def traverse_clusters(
             col, ox, oy, oz, dx, dy, dz, mx, my, mz, carry,
             want_normal_mat=want_normal_mat, enter_f=enter_f,
             use_conds=rec_conds, cull_mode=cull_mode,
+            use_halves=rec_halves,
         )
 
     carry0 = (best_t, best_p, nx, ny, nz, mid)
@@ -982,6 +1090,7 @@ def traverse_clusters_anyhit(
     root=None,
     visit_ref=None,
     rec_conds=True,
+    rec_halves=False,
     clb_resident=False,
     cull_mode=-1,
 ):
@@ -1003,6 +1112,7 @@ def traverse_clusters_anyhit(
         return pair_test_anyhit(
             col, ox, oy, oz, dx, dy, dz, mx, my, mz, t_lim, occ_f,
             enter_f=enter_f, use_conds=rec_conds, cull_mode=cull_mode,
+            use_halves=rec_halves,
         )
 
     run_gate = _root_gate(hyp_v, ox, oy, oz, ix, iy, iz, t_lim)
@@ -1026,7 +1136,8 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
                    ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                    lim_r, t_out, p_out, scr_c, scr2, scr_eh, scr_es,
                    scr_ec, scr_m, scr_ef, sem_c, sem2,
-                   *, n_super, any_hit, clb_resident=False):
+                   *, n_super, any_hit, clb_resident=False,
+                   rec_halves=False):
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
     lim = lim_r[:]
@@ -1038,6 +1149,7 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
             ox, oy, oz, dx, dy, dz,
             lim, jnp.zeros(shp, jnp.float32),
             n_super=n_super, clb_resident=clb_resident,
+            rec_halves=rec_halves,
         )
         t_out[:] = jnp.where(occ, 1.0, jnp.inf)
         p_out[:] = jnp.where(occ, 0, -1)
@@ -1051,7 +1163,7 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
             scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
             ox, oy, oz, dx, dy, dz,
             best_t, best_p, dummy, dummy, dummy, dmid,
-            n_super=n_super,
+            n_super=n_super, rec_halves=rec_halves,
             want_normal_mat=False, clb_resident=clb_resident,
         )
         t_out[:] = best_t
@@ -1060,17 +1172,19 @@ def _single_kernel(sup_ref, hyp_ref, clb_hbm, rec_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_super", "any_hit", "interpret", "clb_resident"),
+    static_argnames=("n_super", "any_hit", "interpret", "clb_resident",
+                     "rec_halves"),
 )
 def _single_call(sup, hyp, clb, records, comps, lim, n_super,
-                 any_hit, interpret=False, clb_resident=False):
+                 any_hit, interpret=False, clb_resident=False,
+                 rec_halves=False):
     rows = comps[0].shape[0]
     grid = (rows // 8,)
     ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _single_kernel, n_super=n_super, any_hit=any_hit,
-        clb_resident=clb_resident,
+        clb_resident=clb_resident, rec_halves=rec_halves,
     )
     clb_spec = (
         pl.BlockSpec(clb.shape, lambda i: (0, 0, 0),
@@ -1111,7 +1225,7 @@ def _single_call(sup, hyp, clb, records, comps, lim, n_super,
 
 
 def cluster_intersect_kernel(scene, o, d, t_max=None, any_hit=False,
-                             interpret=False):
+                             interpret=False, rec_halves=False):
     """Standalone cluster-set query through the in-kernel traversal
     (dense big-tri/sphere parts NOT included — compose with
     pallas_traverse._dense_part for a full scene query). Returns
@@ -1144,6 +1258,7 @@ def cluster_intersect_kernel(scene, o, d, t_max=None, any_hit=False,
         n_super=int(scene.krn_cl_bounds.shape[0]),
         any_hit=any_hit, interpret=interpret,
         clb_resident=clb_fits_vmem(scene.krn_cl_bounds),
+        rec_halves=rec_halves,
     )
     t = t.reshape(-1)[:r]
     p = p.reshape(-1)[:r]

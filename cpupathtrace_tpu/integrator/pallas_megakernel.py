@@ -289,6 +289,11 @@ _SKIP_TRAVERSE = os.environ.get("PTX_SKIP_TRAVERSE", "") == "1"  # ablation
 # benchmarks/experiments/aot_compile_test.py).
 _REC_CONDS = os.environ.get("PTX_REC_CONDS", "auto")
 _REC_CONDS_SHADOW = os.environ.get("PTX_REC_CONDS_SHADOW", "auto")
+# Half-record gating: block-level scalar cond per sublane-aligned record
+# half against per-half AABBs packed in the record's free lanes
+# (kernel_traverse._write_half_bounds). "0" until the full-scale A/B
+# lands a verdict.
+_REC_HALVES = os.environ.get("PTX_REC_HALVES", "0")
 
 
 def _conds_policy(flag: str, rec) -> bool:
@@ -305,6 +310,10 @@ def _shadow_conds(rec) -> bool:
 
 def _nearest_conds(rec) -> bool:
     return _conds_policy(_REC_CONDS, rec)
+
+
+def _rec_halves(rec) -> bool:
+    return _conds_policy(_REC_HALVES, rec)
 # Comma-separated kernel-body ablations for perf bisection (profiling only):
 # "nee" drops next-event estimation, "bigpair" drops the big-partition pair
 # tests, "prop" replaces BSDF sampling with straight-through propagation,
@@ -427,6 +436,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     n_super=n_super,
                     want_normal_mat=True, active=alive_f,
                     visit_ref=vis_ref, rec_conds=_nearest_conds(rec_hbm),
+                    rec_halves=_rec_halves(rec_hbm),
                     clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
             hit = alive & (bp >= 0)
@@ -530,6 +540,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                         t_lim, jnp.zeros(shp, jnp.float32),
                         n_super=n_super,
                         visit_ref=vis_ref, rec_conds=_shadow_conds(rec_hbm),
+                        rec_halves=_rec_halves(rec_hbm),
                         clb_resident=clb_vmem, cull_mode=cull_mode,
                     )
                     visible = visible & ~occ
@@ -676,6 +687,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                                       jnp.float32),
                     n_super=n_super,
                     visit_ref=vis_ref, rec_conds=_shadow_conds(rec_hbm),
+                    rec_halves=_rec_halves(rec_hbm),
                     clb_resident=clb_vmem, cull_mode=cull_mode,
                 )
                 r0 = shp[0]

@@ -32,7 +32,9 @@ from .scene import SceneData
 _MAGIC = b"PTXSCENE"
 # Bump when the SceneData field set / packed-table layout changes in a
 # way that invalidates cached files.
-_FORMAT_VERSION = 2
+# v3: krn_records carry per-half AABBs in feature lanes 28:35
+# (kernel_traverse._write_half_bounds).
+_FORMAT_VERSION = 3
 _ALIGN = 64
 
 

@@ -243,3 +243,37 @@ def test_nearest_matches_oracle_mixed_cull():
     # Culled triangles must actually cull: rays hitting a culled backface
     # in the oracle never appear as kernel-only hits (checked implicitly by
     # mask agreement above — the oracle applies the same cull rule).
+
+
+def test_half_record_gating_exact(monkeypatch):
+    """Round 4: half-record gating (per-half AABB conds inside the pair
+    test) must be EXACT — identical nearest hits and any-hit masks vs the
+    ungated test on a 128-row-record scene (the config where the gate
+    activates)."""
+    monkeypatch.setenv("PTX_KRN_CLUSTER", "128")
+    scene = bench_dragon_scene(dragon_tris=20000, accel="binned")
+    assert scene.krn_records.shape[1] == 128
+    rng = np.random.default_rng(11)
+    n = 256
+    o = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    o[:, 2] -= 0.9
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    t_u, p_u = map(np.asarray, cluster_intersect_kernel(
+        scene, o, d, interpret=True))
+    t_h, p_h = map(np.asarray, cluster_intersect_kernel(
+        scene, o, d, interpret=True, rec_halves=True))
+    np.testing.assert_array_equal(t_h, t_u)
+    np.testing.assert_array_equal(p_h, p_u)
+    assert int((p_h >= 0).sum()) > 50
+
+    lim = np.full(n, 1.5, np.float32)
+    _, pa_u = map(np.asarray, cluster_intersect_kernel(
+        scene, o, d, t_max=lim, any_hit=True, interpret=True))
+    _, pa_h = map(np.asarray, cluster_intersect_kernel(
+        scene, o, d, t_max=lim, any_hit=True, interpret=True,
+        rec_halves=True))
+    np.testing.assert_array_equal(pa_h >= 0, pa_u >= 0)
+    assert int((pa_h >= 0).sum()) > 20
