@@ -66,8 +66,12 @@ _MORTON_BITS = min(8, max(1, int(os.environ.get("PTX_SORT_MORTON_BITS", "4"))))
 # Skip the per-bounce re-sort when fewer rays than this are alive: the live
 # set is already packed at the head (dead rays sort to the tail and STAY
 # there — a dead ray's key is terminal), so late sparse bounces get no new
-# coherence for the sort's ~5-10 ms.
-_SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 14)))
+# coherence for the sort's ~5-10 ms. Applied as min(threshold, rays/4) so
+# small chunks still sort their early bounces (a fixed 64k threshold would
+# disable sorting entirely below 64k rays). Swept on the 200k bench
+# (packed glue, round 4): 16k -> 0.86, 32k -> 0.89, 64k -> 0.90 Mrays/s,
+# 128k+ -> 0.69 (half the frame never sorted — coherence collapses).
+_SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 16)))
 
 # Permutation glue implementation:
 #   "fused"  — ONE multi-operand lax.sort carries the full 19-array path
@@ -447,7 +451,8 @@ def trace_megakernel_sorted(
         # rays per chunk, blurring the threshold comparison.
         n_alive = jnp.sum((st[17] > 0.5).astype(jnp.int32))
         out = jax.lax.cond(
-            n_alive >= _SORT_MIN_ALIVE, do_sort, lambda ops: ops,
+            n_alive >= min(_SORT_MIN_ALIVE, max(rp // 4, 1)),
+            do_sort, lambda ops: ops,
             (key,) + st + (idx,),
         )
         return depth + 1, tuple(out[1:1 + N_STATE]), out[1 + N_STATE], vis
