@@ -18,7 +18,10 @@ import jax
 
 # The container's sitecustomize pre-imports jax with the axon TPU platform
 # pinned; switch to CPU post-import (env vars alone are too late).
-jax.config.update("jax_platforms", "cpu")
+# PTX_TPU_TESTS=1 keeps the real chip attached instead — the escape hatch
+# for the hardware smoke suite: `PTX_TPU_TESTS=1 pytest -m tpu`.
+if os.environ.get("PTX_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache: the suite compiles hundreds of programs;
 # caching cuts repeat runs ~20% (tracing and interpret-mode Pallas are the
