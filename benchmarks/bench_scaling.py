@@ -152,7 +152,6 @@ def main():
     # ~0.22 Mrays/s at 7.2M tris) -> seconds of compute per chunk of
     # SPP/chunks samples; even one spp chunk per device dwarfs comm.
     mrays_chip = 0.22
-    compute_s_per_spp = pixels / dp / (mrays_chip * 1e6)
     comm_note = (
         f"compute per device per 1-spp chunk at {mrays_chip} Mrays/s "
         f"(7.2M-tri scene, dp=16): {pixels/16/(mrays_chip*1e6):.1f} s vs "

@@ -110,11 +110,21 @@ def render_resumable(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 1,
     progress_callback=None,
+    mesh=None,
 ) -> FilmState:
     """Fixed-spp render with periodic checkpoints; resumes automatically from
     `checkpoint_path` when it exists. The chunk key schedule is
     `fold_in(PRNGKey(seed), chunk_index)`, so resumed and uninterrupted
-    renders are bit-identical."""
+    renders are bit-identical.
+
+    With `mesh` (a (dp, sp) `jax.sharding.Mesh`), each chunk renders SPMD
+    over the mesh via `parallel.render.render_chunk_sharded` — the multi-host
+    render's resume story (SURVEY §5 checkpoint row). Resuming on the SAME
+    mesh shape is bit-identical to an uninterrupted run; resuming on a
+    different mesh shape (elastic restart after losing hosts) is still a
+    correct unbiased render — the remaining chunks just draw from that mesh
+    shape's RNG streams — and is allowed because each chunk's samples are
+    self-contained."""
     w, h = options.image_width, options.image_height
     # Ceil-division chunking: the final chunk is smaller when spp is not a
     # multiple of spp_chunk, so exactly `spp` samples are rendered (the
@@ -160,6 +170,24 @@ def render_resumable(
         np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
     )
     x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
+    n = x_cam.size
+    pad = 0
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        sp = mesh.shape["sp"]
+        if spp_chunk % sp != 0:
+            raise ValueError(
+                f"spp_chunk {spp_chunk} not divisible by the mesh's "
+                f"sample-parallel axis sp={sp}"
+            )
+        if spp % spp_chunk != 0 and (spp % spp_chunk) % sp != 0:
+            raise ValueError(
+                f"final chunk of {spp % spp_chunk} spp not divisible by sp={sp}"
+            )
+        pad = (-n) % dp
+        if pad:
+            x_cam = np.concatenate([x_cam, np.zeros(pad, np.float32)])
+            y_cam = np.concatenate([y_cam, np.zeros(pad, np.float32)])
     x_cam = jnp.asarray(x_cam, jnp.float32)
     y_cam = jnp.asarray(y_cam, jnp.float32)
 
@@ -167,9 +195,18 @@ def render_resumable(
     for c in range(state.chunks_done, n_chunks):
         key = jax.random.fold_in(base, c)
         chunk = min(spp_chunk, spp - c * spp_chunk)
-        s, cnt = render_chunk(
-            scene, camera, options, x_cam, y_cam, key, chunk
-        )
+        if mesh is not None:
+            from ..parallel.render import render_chunk_sharded
+
+            s, cnt = render_chunk_sharded(
+                scene, camera, options, mesh, x_cam, y_cam, key, chunk
+            )
+            s = np.asarray(s)[:n]
+            cnt = np.asarray(cnt)[:n]
+        else:
+            s, cnt = render_chunk(
+                scene, camera, options, x_cam, y_cam, key, chunk
+            )
         state.pixel_sum += np.asarray(s, np.float64)
         state.sample_count += np.asarray(cnt, np.int64)
         state.chunks_done = c + 1

@@ -26,6 +26,7 @@ cpupathtrace_tpu/parallel).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -63,8 +64,6 @@ def _dispatch_trace(scene, rays, options, key, differentiable):
     """Forward traces on TPU go through the Pallas megakernel when the scene
     fits its dense tables (the whole path loop runs on-chip, ~100x less HBM
     traffic); gradients and large scenes use the jnp wavefront."""
-    import os
-
     from ..ops.intersect import _on_tpu
 
     if (
@@ -330,8 +329,16 @@ def render_tile(
     y_cam: np.ndarray,
     key,
     pixel_order=None,
+    chunk_fns=None,
 ) -> jnp.ndarray:
-    """Adaptive render of one pixel tile; returns [P,4] pixel values."""
+    """Adaptive render of one pixel tile; returns [P,4] pixel values.
+
+    `chunk_fns`, when given, is a pair `(single, batched)` replacing the
+    default single-device chunk renderers — `single(key, spp) -> (sum [P,4],
+    collected [P])` and `batched(key, spp_batch, kb) -> ([K,P,4], [K,P])` —
+    so the SPMD driver (parallel/render.py) runs the IDENTICAL adaptive
+    stopping rule (Welford stats batches + consecutive-pass accept +
+    candidate selection) over sharded chunk launches."""
     p = x_cam.shape[0]
     stats, cbc, check = adaptive_constants(options)
     min_sc = max(options.min_sample_count, 2)
@@ -353,10 +360,20 @@ def render_tile(
     # per-batch freeze/accept semantics are applied sequentially inside
     # it, so the estimator is unchanged while the demo's 16-64 spp config
     # drops from 16 launches to 4. Fuse=1 reproduces the unfused RNG
-    # stream bitwise.
-    import os
-
+    # stream bitwise. (Read per call, not hoisted: tests monkeypatch it.)
     fuse = max(1, int(os.environ.get("PTX_ADAPTIVE_FUSE", "4")))
+
+    if chunk_fns is None:
+        def _single(k, spp):
+            return render_chunk(scene, camera, options, x_cam, y_cam, k,
+                                spp, pixel_order=pixel_order)
+
+        def _batched(k, spp_batch, kb):
+            return render_chunk_batched(scene, camera, options, x_cam,
+                                        y_cam, k, spp_batch, kb,
+                                        pixel_order=pixel_order)
+    else:
+        _single, _batched = chunk_fns
 
     # Early-break flags are consumed LAGGED: launch L's all-frozen scalar
     # is checked only after launch L+K was enqueued, so the device keeps
@@ -373,16 +390,10 @@ def render_tile(
     for li in range(n_launches):
         kb = min(fuse, n_full - c0)
         if kb == 1:
-            s, coll = render_chunk(
-                scene, camera, options, x_cam, y_cam, keys[li], stats,
-                pixel_order=pixel_order,
-            )
+            s, coll = _single(keys[li], stats)
             s_b, coll_b = s[None], coll[None]
         else:
-            s_b, coll_b = render_chunk_batched(
-                scene, camera, options, x_cam, y_cam, keys[li], stats, kb,
-                pixel_order=pixel_order,
-            )
+            s_b, coll_b = _batched(keys[li], stats, kb)
         (pixel_sum, n_collected, frozen, accepted, remaining,
          stats_means, stats_valid, flag) = _apply_stats_batches(
             s_b, coll_b, jnp.int32(c0), pixel_sum, n_collected, frozen,
@@ -405,9 +416,7 @@ def render_tile(
                 break
 
     if remainder > 0:
-        s, coll = render_chunk(scene, camera, options, x_cam, y_cam,
-                               keys[n_full], remainder,
-                               pixel_order=pixel_order)
+        s, coll = _single(keys[n_full], remainder)
         live = ~frozen
         pixel_sum = jnp.where(live[:, None], pixel_sum + s, pixel_sum)
         n_collected = jnp.where(live, n_collected + coll, n_collected)

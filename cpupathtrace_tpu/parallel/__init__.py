@@ -5,4 +5,10 @@ from .geometry import (
     shard_scene_geometry,
 )
 from .mesh import make_render_mesh
-from .render import render_chunk_sharded, render_sharded
+from .render import (
+    adaptive_sample_axis,
+    render_chunk_batched_sharded,
+    render_chunk_sharded,
+    render_sharded,
+    render_sharded_adaptive,
+)

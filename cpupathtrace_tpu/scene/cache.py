@@ -27,7 +27,7 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
-from .scene import SceneData
+from .scene import STATIC_FIELDS, SceneData
 
 _MAGIC = b"PTXSCENE"
 # Bump when the SceneData field set / packed-table layout changes in a
@@ -41,15 +41,10 @@ _ALIGN = 64
 def _split_fields():
     arrays, meta = [], []
     for f in dataclasses.fields(SceneData):
-        # Mirrors the register_dataclass split: static config fields are
-        # plain python scalars/strings, everything else is an array leaf.
-        if f.name in (
-            "n_tri", "n_sph", "n_point_lights", "n_emissive",
-            "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
-            "cluster_size", "emissive_all_tri", "n_big",
-            "krn_cluster_size", "emissive_in_dense", "gp_axis",
-            "krn_cull_mode", "krn_big_cull_mode", "lean",
-        ):
+        # Same split as scene.py's register_dataclass (STATIC_FIELDS is the
+        # shared source of truth): static config fields are plain python
+        # scalars/strings, everything else is an array leaf.
+        if f.name in STATIC_FIELDS:
             meta.append(f.name)
         else:
             arrays.append(f.name)
@@ -82,7 +77,13 @@ def save_scene(scene: SceneData, path: str | os.PathLike) -> None:
         off += hosts[e["name"]].nbytes
         off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
     blob = json.dumps(header).encode()
-    assert len(blob) <= hlen, "header budget exceeded"
+    if len(blob) > hlen:
+        # Must stay a hard error even under `python -O`: overflowing the
+        # budgeted header would overlap the first array blob's offset and
+        # write a silently corrupt cache file.
+        raise RuntimeError(
+            f"scene cache header budget exceeded ({len(blob)} > {hlen})"
+        )
     blob = blob + b" " * (hlen - len(blob))
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:

@@ -45,6 +45,19 @@ def _cull_uniformity(culls) -> int:
 
 
 
+# Static (non-array) SceneData fields. Single source of truth shared by the
+# register_dataclass meta_fields below and scene.cache's header/blob split —
+# a field added to only one of the two would otherwise be silently misrouted
+# on save/load.
+STATIC_FIELDS = (
+    "n_tri", "n_sph", "n_point_lights", "n_emissive",
+    "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
+    "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
+    "emissive_in_dense", "gp_axis", "krn_cull_mode",
+    "krn_big_cull_mode", "lean",
+)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -65,13 +78,7 @@ def _cull_uniformity(culls) -> int:
         "krn_records", "krn_cl_bounds", "krn_sup_bounds", "krn_hyp_bounds",
         "krn_big_pair",
     ],
-    meta_fields=[
-        "n_tri", "n_sph", "n_point_lights", "n_emissive",
-        "emissive_sample_count", "accel", "bvh_depth", "cl_depth",
-        "cluster_size", "emissive_all_tri", "n_big", "krn_cluster_size",
-        "emissive_in_dense", "gp_axis", "krn_cull_mode",
-        "krn_big_cull_mode", "lean",
-    ],
+    meta_fields=list(STATIC_FIELDS),
 )
 @dataclasses.dataclass(frozen=True)
 class SceneData:

@@ -75,11 +75,21 @@ def main(argv=None):
 
     t0 = time.time()
     if args.sharded:
-        from cpupathtrace_tpu.parallel import make_render_mesh, render_sharded
+        # Full adaptive min/max-spp contract over the device mesh — the
+        # same stopping rule as the single-device path, chunks sharded
+        # (dp over pixels, sp over samples), with tile progress.
+        from cpupathtrace_tpu.parallel import (
+            adaptive_sample_axis,
+            make_render_mesh,
+            render_sharded_adaptive,
+        )
 
-        img = render_sharded(
-            scene, camera, options, make_render_mesh(), seed=args.seed,
-            spp=args.spp_max,
+        mesh = make_render_mesh(
+            sample_axis=adaptive_sample_axis(options, len(jax.devices()))
+        )
+        img = render_sharded_adaptive(
+            scene, camera, options, mesh, seed=args.seed,
+            progress_callback=progress,
         )
     else:
         img = ptx.render(scene, camera, options, seed=args.seed,

@@ -1,6 +1,7 @@
 """Checkpoint/resume tests: resumed renders are bit-identical to
 uninterrupted ones (capability absent from the reference, SURVEY §5)."""
 import numpy as np
+import pytest
 
 from cpupathtrace_tpu import RenderOptions, make_camera
 from cpupathtrace_tpu.integrator.checkpoint import (
@@ -75,4 +76,50 @@ def test_mismatched_spp_rejected(tmp_path):
     with pytest.raises(ValueError):
         render_resumable(
             scene, cam, opts, spp=16, spp_chunk=4, checkpoint_path=ckpt
+        )
+
+
+def test_sharded_resume_bit_identical(tmp_path, cpu_devices):
+    """A sharded render interrupted after its first chunk and resumed from
+    the checkpoint is bit-identical to an uninterrupted run on the same
+    mesh (the multi-host resume story, SURVEY §5 checkpoint row)."""
+    from cpupathtrace_tpu.parallel import make_render_mesh
+
+    scene, cam, opts = _setup()
+    mesh = make_render_mesh()
+    full = render_resumable(
+        scene, cam, opts, spp=12, seed=3, spp_chunk=4, mesh=mesh
+    )
+
+    ck = str(tmp_path / "sharded.ckpt")
+
+    class Interrupt(Exception):
+        pass
+
+    def bomb(done, total):
+        if done == 1:
+            raise Interrupt
+
+    with pytest.raises(Interrupt):
+        render_resumable(
+            scene, cam, opts, spp=12, seed=3, spp_chunk=4,
+            checkpoint_path=ck, progress_callback=bomb, mesh=mesh,
+        )
+    resumed = render_resumable(
+        scene, cam, opts, spp=12, seed=3, spp_chunk=4,
+        checkpoint_path=ck, mesh=mesh,
+    )
+    assert resumed.chunks_done == 3
+    np.testing.assert_array_equal(full.pixel_sum, resumed.pixel_sum)
+    np.testing.assert_array_equal(full.sample_count, resumed.sample_count)
+
+
+def test_sharded_resume_rejects_bad_chunk_divisibility(cpu_devices):
+    from cpupathtrace_tpu.parallel import make_render_mesh
+
+    scene, cam, opts = _setup()
+    mesh = make_render_mesh(sample_axis=2)
+    with pytest.raises(ValueError, match="sample-parallel"):
+        render_resumable(
+            scene, cam, opts, spp=9, seed=0, spp_chunk=3, mesh=mesh
         )
