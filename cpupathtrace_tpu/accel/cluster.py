@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-from .build import FlatBVH, build_bvh
+from .build import NATIVE_THRESHOLD, FlatBVH, build_bvh
 
 
 @dataclasses.dataclass
@@ -50,6 +50,55 @@ def build_cluster_bvh(
 ) -> ClusterBVH:
     """Build the two-level structure from primitive bounds [P,3]."""
     n = prim_lo.shape[0]
+
+    # Fast path: the native builder hands back per-node subtree info
+    # (first-leaf DFS rank + subtree size + the DFS primitive order), so
+    # the cluster cut needs no tree sweeps at all — the numpy
+    # level-by-level passes below cost ~8 s at 7.2M primitives. Falls
+    # through to the sweep path when the native library is unavailable.
+    if (use_native is None and n >= NATIVE_THRESHOLD) or use_native:
+        from ..native import build_bvh_native
+
+        built = build_bvh_native(
+            np.asarray(prim_lo, np.float32), np.asarray(prim_hi, np.float32),
+            want_subtree_info=True,
+        )
+        if built is not None:
+            lo, hi, left, right, prim, depth, begin, size, dfs = built
+            leaf = prim >= 0
+            parent_size = np.full(size.shape[0], np.iinfo(np.int32).max,
+                                  np.int64)
+            internal = np.flatnonzero(~leaf)
+            l64 = left.astype(np.int64)[internal]
+            r64 = right.astype(np.int64)[internal]
+            parent_size[l64] = size[internal]
+            parent_size[r64] = size[internal]
+            cut_nodes = np.flatnonzero(
+                (size <= cluster_size) & (parent_size > cluster_size)
+            )
+            cut_nodes = cut_nodes[
+                np.argsort(begin[cut_nodes], kind="stable")
+            ]
+            starts = begin[cut_nodes].astype(np.int64)
+            lens = size[cut_nodes].astype(np.int64)
+            c = cut_nodes.shape[0]
+            members = np.full((c, cluster_size), -1, np.int32)
+            cols = np.arange(cluster_size, dtype=np.int64)
+            in_run = cols[None, :] < lens[:, None]
+            gather = starts[:, None] + np.minimum(
+                cols[None, :], lens[:, None] - 1
+            )
+            members[in_run] = dfs[gather[in_run]]
+            c_lo = lo[cut_nodes].astype(np.float32)
+            c_hi = hi[cut_nodes].astype(np.float32)
+            top = build_bvh(c_lo, c_hi, use_native=use_native)
+            return ClusterBVH(
+                lo=top.lo, hi=top.hi, left=top.left, right=top.right,
+                cluster=top.prim, depth=top.depth, members=members,
+                c_lo=c_lo, c_hi=c_hi, n_clusters=c,
+                cluster_size=cluster_size,
+            )
+
     base = build_bvh(prim_lo, prim_hi, use_native=use_native)
 
     # Cut the base tree at the first node (walking from the root) whose

@@ -210,6 +210,22 @@ def mesh_from_arrays(
         # (ref: mesh.cpp:149-158 index validation).
         return TriangleBatch.empty() if as_batch else []
 
+    # Threaded native fast path for large meshes — bit-identical to the
+    # numpy pipeline below (the C++ mirrors its float-op order exactly;
+    # see native/src/ptx_native.cpp ptx_mesh_pipeline).
+    if as_batch and face_idx.shape[0] >= 65536:
+        from ..native import mesh_pipeline_native
+
+        res = mesh_pipeline_native(verts, face_idx, smooth)
+        if res is not None:
+            a, b, c, na, nb, nc = res
+            n = a.shape[0]
+            return TriangleBatch(
+                v0=a, v1=b, v2=c, n0=na, n1=nb, n2=nc,
+                cull=np.full(n, cull_backface, bool),
+                material=np.full(n, -1, np.int32),
+            )
+
     # Face validation (ref: mesh.cpp:149-174).
     in_range = np.all((face_idx >= 0) & (face_idx < n_v), axis=1)
     face_idx_c = np.clip(face_idx, 0, max(n_v - 1, 0))

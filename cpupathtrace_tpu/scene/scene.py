@@ -340,8 +340,7 @@ class SceneBuilder:
         from ..accel.cluster import build_cluster_bvh, build_sah_clusters
 
         f32 = np.float32
-        tri_batch = TriangleBatch.concatenate(self._batches)
-        n_tri = len(tri_batch)
+        n_tri = sum(len(b) for b in self._batches)
         n_sph = len(self._spheres)
 
         tpad = max(n_tri, 1)
@@ -352,14 +351,23 @@ class SceneBuilder:
         tri_n[:, :, 1] = 1.0  # harmless unit normal on padding lanes
         tri_cull = np.zeros(tpad, bool)
         tri_mat = np.zeros(tpad, np.int32)
-        tri_v[0, :n_tri] = tri_batch.v0
-        tri_v[1, :n_tri] = tri_batch.v1
-        tri_v[2, :n_tri] = tri_batch.v2
-        tri_n[0, :n_tri] = tri_batch.n0
-        tri_n[1, :n_tri] = tri_batch.n1
-        tri_n[2, :n_tri] = tri_batch.n2
-        tri_cull[:n_tri] = tri_batch.cull
-        tri_mat[:n_tri] = tri_batch.material
+        # Fill the padded f32 tables batch by batch instead of
+        # concatenating the f64 batches first: the concat alone copies
+        # ~1.4 GB (and costs ~8 s) at the 7.2M-triangle scale, all of it
+        # immediately re-cast to f32 here anyway.
+        off = 0
+        for bt in self._batches:
+            nb = len(bt)
+            sl = slice(off, off + nb)
+            tri_v[0, sl] = bt.v0
+            tri_v[1, sl] = bt.v1
+            tri_v[2, sl] = bt.v2
+            tri_n[0, sl] = bt.n0
+            tri_n[1, sl] = bt.n1
+            tri_n[2, sl] = bt.n2
+            tri_cull[sl] = bt.cull
+            tri_mat[sl] = bt.material
+            off += nb
 
         sph_c = np.full((spad, 3), 1e30, f32)
         sph_r = np.zeros(spad, f32)
@@ -398,10 +406,19 @@ class SceneBuilder:
         )
         mat_p = (mat_em64[:, 0] + mat_em64[:, 1] + mat_em64[:, 2]) * mat_em64[:, 3]
         tri_p = mat_p[tri_mat[:n_tri]]
-        tri_power = tri_p * tri_batch.surface_areas()
-        em_tri_idx = np.flatnonzero((tri_p > 0) & (tri_power > 0))
+        # Areas only for emissive-material candidates: a full-mesh
+        # surface_areas() pass costs ~9 s at 7.2M triangles to weight the
+        # (typically ~dozen) emitters. f64 math over the f32 vertices
+        # (same math as TriangleBatch.surface_areas).
+        cand = np.flatnonzero(tri_p > 0)
+        e1 = (tri_v[1, cand] - tri_v[0, cand]).astype(np.float64)
+        e2 = (tri_v[2, cand] - tri_v[0, cand]).astype(np.float64)
+        cand_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        cand_power = tri_p[cand] * cand_area
+        keep = cand_power > 0
+        em_tri_idx = cand[keep]
         em_prims: list[int] = [int(i) for i in em_tri_idx]
-        em_power: list[float] = [float(p) for p in tri_power[em_tri_idx]]
+        em_power: list[float] = [float(p) for p in cand_power[keep]]
         for i, s in enumerate(self._spheres):
             p = float(mat_p[s.material])
             if p > 0:
