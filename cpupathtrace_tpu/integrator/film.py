@@ -63,8 +63,22 @@ def adaptive_constants(options: RenderOptions):
 def _dispatch_trace(scene, rays, options, key, differentiable):
     """Forward traces on TPU go through the Pallas megakernel when the scene
     fits its dense tables (the whole path loop runs on-chip, ~100x less HBM
-    traffic); gradients and large scenes use the jnp wavefront."""
+    traffic); differentiable traces use the record-and-replay megakernel
+    (forward on-chip + jnp-replay backward, integrator/diff_megakernel.py)
+    when supported, else the jnp scan wavefront."""
     from ..ops.intersect import _on_tpu
+
+    if (
+        differentiable
+        and _on_tpu()
+        and os.environ.get("PTX_DIFF_MEGAKERNEL", "1") != "0"
+        and os.environ.get("PTX_NO_MEGAKERNEL") != "1"
+    ):
+        from .diff_megakernel import diff_supported, trace_diff
+
+        if diff_supported(scene):
+            seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+            return trace_diff(scene, rays, options, seed)
 
     if (
         not differentiable

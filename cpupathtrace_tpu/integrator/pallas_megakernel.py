@@ -334,10 +334,19 @@ STATE_FIELDS = (
 N_STATE = len(STATE_FIELDS)
 
 
+def n_diff_records(n_lights: int, em_k: int) -> int:
+    """Channel count of the differentiable-replay records
+    (integrator/diff_megakernel.py): [mid, emission-weight W, chain-sel]
+    + one NEE weight per point light + (CDF row, NEE weight) per
+    emissive draw."""
+    return 3 + n_lights + 2 * em_k
+
+
 def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                      epsilon, n_super=0, debug_visits=False,
                      single_bounce=False, dense_pair=False,
-                     clb_vmem=False, cull_mode=-1, big_cull_mode=-1):
+                     clb_vmem=False, cull_mode=-1, big_cull_mode=-1,
+                     diff_records=False):
     """n_super > 0 adds the in-kernel cluster traversal (large meshes): the
     kernel then takes four extra inputs (supercluster VMEM bounds, cluster
     bounds pages, cluster records, big-partition pair record) and four
@@ -371,6 +380,10 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             if debug_visits:
                 vis_out = rest[pos]
                 pos += 1
+            if diff_records:
+                n_drec = n_diff_records(n_lights, em_k)
+                drec_out = rest[pos:pos + n_drec]
+                pos += n_drec
             shp = st_in[1].shape
         else:
             (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = rest[
@@ -396,9 +409,12 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
         pid = pl.program_id(0)
         rng0 = _seed_rng(seed_ref[0] + pid * jnp.int32(1000003), shp)
 
-        def body(depth, st):
+        def body(depth, st, drec=None):
             # Masks ride the carry as f32 (Mosaic cannot carry i1 vectors
-            # through scf.for).
+            # through scf.for). `drec` (diff_records mode, single_bounce
+            # only): a dict this body fills with the differentiable-replay
+            # record vectors — see integrator/diff_megakernel.py for the
+            # replay contract.
             (rng, ox, oy, oz, dx, dy, dz,
              sr, sg, sb, out_r, out_g, out_b,
              divisor, bounce_pd, contrib_unw, collected_f, alive_f) = st
@@ -466,6 +482,11 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             out_r = out_r + jnp.where(hit, sr * me_r * weight, 0.0)
             out_g = out_g + jnp.where(hit, sg * me_g * weight, 0.0)
             out_b = out_b + jnp.where(hit, sb * me_b * weight, 0.0)
+            if drec is not None:
+                drec["mid"] = jnp.where(hit, mid.astype(jnp.float32), -1.0)
+                drec["W"] = jnp.where(hit, weight, 0.0)
+                drec["pl_w"] = []
+                drec["em"] = []
 
             # Russian roulette (ref: worker.cpp:67-70); depth is scalar.
             mean_s = (sr + sg + sb) / 3.0
@@ -517,6 +538,8 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             def nee_finish(ldx, ldy, ldz, visible, ls_r, ls_g, ls_b,
                            lpd, lvalid, out_r, out_g, out_b):
                 # Lambertian eval (specular: synthetic pdf 0 -> skip).
+                # Also returns the light's detached weight `w` for the
+                # differentiable-replay records.
                 cos_s = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
                 shade = cos_s / _PI
                 use = hit & lvalid & visible & (~is_spec) & (lpd > 0.0)
@@ -524,7 +547,7 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 out_r = out_r + w * md_r * ls_r * sr
                 out_g = out_g + w * md_g * ls_g * sg
                 out_b = out_b + w * md_b * ls_b * sb
-                return out_r, out_g, out_b
+                return out_r, out_g, out_b, w
 
             def nee_accumulate(lx, ly, lz, ls_r, ls_g, ls_b, lpd, lvalid,
                                out_r, out_g, out_b):
@@ -549,17 +572,28 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
 
             def point_light(li, acc):
                 out_r, out_g, out_b = acc
-                return nee_accumulate(
+                out_r, out_g, out_b, w = nee_accumulate(
                     lgt_ref[li, 0], lgt_ref[li, 1], lgt_ref[li, 2],
                     lgt_ref[li, 3], lgt_ref[li, 4], lgt_ref[li, 5],
                     jnp.float32(1.0), jnp.full(shp, True),
                     out_r, out_g, out_b,
                 )
+                if drec is not None:
+                    drec["pl_w"].append(w)
+                return out_r, out_g, out_b
 
             if "nee" not in _ABLATE:
-                out_r, out_g, out_b = jax.lax.fori_loop(
-                    0, n_lights, point_light, (out_r, out_g, out_b)
-                )
+                if drec is not None:
+                    # Unrolled so each point light's weight lands in its
+                    # own record channel (n_lights is small and static).
+                    for li in range(n_lights):
+                        out_r, out_g, out_b = point_light(
+                            li, (out_r, out_g, out_b)
+                        )
+                else:
+                    out_r, out_g, out_b = jax.lax.fori_loop(
+                        0, n_lights, point_light, (out_r, out_g, out_b)
+                    )
 
             em_draws = []
             for _ in range(0 if "nee" in _ABLATE else em_k):
@@ -668,12 +702,14 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                     # amortize over em_k * rows shadow rows, and records
                     # both draws need are fetched once).
                     em_draws.append((spx, spy, spz, e_r, e_g, e_b,
-                                     lpd, lvalid))
+                                     lpd, lvalid, sel))
                 else:
-                    out_r, out_g, out_b = nee_accumulate(
+                    out_r, out_g, out_b, w_em = nee_accumulate(
                         spx, spy, spz, e_r, e_g, e_b, lpd, lvalid,
                         out_r, out_g, out_b,
                     )
+                    if drec is not None:
+                        drec["em"].append((sel.astype(jnp.float32), w_em))
 
             if em_draws:
                 sh = [shadow_setup(d[0], d[1], d[2], d[6], d[7])
@@ -693,11 +729,13 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
                 r0 = shp[0]
                 for k, (d, s) in enumerate(zip(em_draws, sh)):
                     occ_k = occ_all[k * r0:(k + 1) * r0]
-                    out_r, out_g, out_b = nee_finish(
+                    out_r, out_g, out_b, w_em = nee_finish(
                         s[3], s[4], s[5], s[6] & ~occ_k,
                         d[3], d[4], d[5], d[6], d[7],
                         out_r, out_g, out_b,
                     )
+                    if drec is not None:
+                        drec["em"].append((d[8].astype(jnp.float32), w_em))
 
             # Roulette bookkeeping (ref: worker.cpp:106-110).
             bounce_pd = jnp.where(
@@ -810,6 +848,18 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             sr = jnp.where(cont, mult_r * sr, sr)
             sg = jnp.where(cont, mult_g * sg, sg)
             sb = jnp.where(cont, mult_b * sb, sb)
+            if drec is not None:
+                # Chain-advance selector (replay applies the matching
+                # material color to its running spectrum product):
+                # 0 = no advance, 1 = diffuse, 2 = specular, 3 = ones.
+                code = jnp.where(
+                    is_glass,
+                    jnp.where(same_side, 2.0, 1.0),
+                    jnp.where(
+                        is_mirror, jnp.where(mm, 2.0, 3.0), 1.0
+                    ),
+                )
+                drec["sel"] = jnp.where(cont, code, 0.0)
 
             alive = cont & (divisor > _PD_CUTOFF)
             ox = jnp.where(alive, pxp + ndx * epsilon, ox)
@@ -831,10 +881,39 @@ def _make_megakernel(n_tri, n_sph, n_mat, n_lights, n_em, em_k, max_depth,
             # blocks go dead as paths terminate).
             st = tuple(r[:] for r in st_in)
             depth = seed_ref[1]
-            st = jax.lax.cond(
-                jnp.max(st[17]) > 0.5, lambda s: body(depth, s),
-                lambda s: s, st,
-            )
+            if diff_records:
+                assert not _ABLATE, "diff records with PTX_ABLATE set"
+                zero = jnp.zeros(st[1].shape, jnp.float32)
+
+                def run(s):
+                    dr = {}
+                    out = body(depth, s, drec=dr)
+                    flat = (
+                        [dr["mid"], dr["W"], dr["sel"]]
+                        + dr["pl_w"]
+                        + [x for pair in dr["em"] for x in pair]
+                    )
+                    return out + tuple(flat)
+
+                def skip(s):
+                    # Dead block: mid = -1, every weight 0, sel 0 = the
+                    # replay's no-contribution encoding.
+                    n_drec = n_diff_records(n_lights, em_k)
+                    return s + tuple(
+                        [zero - 1.0] + [zero] * (n_drec - 1)
+                    )
+
+                res = jax.lax.cond(
+                    jnp.max(st[17]) > 0.5, run, skip, st
+                )
+                st = res[:N_STATE]
+                for r, v in zip(drec_out, res[N_STATE:]):
+                    r[:] = v
+            else:
+                st = jax.lax.cond(
+                    jnp.max(st[17]) > 0.5, lambda s: body(depth, s),
+                    lambda s: s, st,
+                )
             for r, v in zip(st_out, st):
                 r[:] = v
             if vis_ref is not None:

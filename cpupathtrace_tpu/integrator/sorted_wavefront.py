@@ -236,13 +236,19 @@ def _sort_key(ox, oy, oz, dx, dy, dz, alive_f, lo, hi):
     jax.jit,
     static_argnames=("n_tri", "n_sph", "n_mat", "n_lights", "n_em", "em_k",
                      "epsilon", "n_super", "block_rows", "dense_pair",
-                     "cull_mode", "big_cull_mode", "debug_visits"),
+                     "cull_mode", "big_cull_mode", "debug_visits",
+                     "diff_records"),
 )
 def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
                  n_em, em_k, epsilon, n_super, block_rows,
                  dense_pair=False, cull_mode=-1, big_cull_mode=-1,
-                 debug_visits=False):
-    """One bounce of the megakernel body over [rows, 128] state blocks."""
+                 debug_visits=False, diff_records=False):
+    """One bounce of the megakernel body over [rows, 128] state blocks.
+
+    `diff_records=True` (mutually exclusive with debug_visits) appends the
+    differentiable-replay record planes — n_diff_records(n_lights, em_k)
+    extra [rows, 128] outputs per bounce (integrator/diff_megakernel.py)."""
+    assert not (diff_records and debug_visits)
     tri, sph, mat, lgt, em, sup, hyp, clb, rec, bigp = tables
     rows = state[1].shape[0]
     grid = (rows // block_rows,)
@@ -259,6 +265,7 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
         dense_pair=dense_pair, clb_vmem=clb_vmem, cull_mode=cull_mode,
         big_cull_mode=big_cull_mode,
         debug_visits=bool(debug_visits and n_super),
+        diff_records=diff_records,
     )
     table_specs = [
         smem((2,)),
@@ -306,6 +313,14 @@ def _bounce_call(tables, seed_depth, state, n_tri, n_sph, n_mat, n_lights,
             jax.ShapeDtypeStruct((grid[0], 4), jnp.int32)
         ]
         scratch = scratch + [pltpu.SMEM((4,), jnp.int32)]
+    if diff_records:
+        from .pallas_megakernel import n_diff_records
+
+        n_drec = n_diff_records(n_lights, em_k)
+        out_specs = out_specs + [ray_spec] * n_drec
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+        ] * n_drec
     params = clb_compiler_params(clb, clb_vmem)
     return pl.pallas_call(
         kernel,

@@ -110,3 +110,98 @@ def test_sorted_driver_on_chip_matches_megakernel_coverage(box_rays):
     np.testing.assert_array_equal(
         np.asarray(s_s)[:, 3], np.asarray(s_m)[:, 3]
     )
+
+
+def test_diff_megakernel_matches_sorted_driver(box_rays):
+    """The record-emitting diff forward is BIT-identical to the
+    established single-bounce driver (same kernel body, same seeding)."""
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.integrator.diff_megakernel import (
+        trace_megakernel_diff,
+    )
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+
+    scene, rays = box_rays
+    opts = RenderOptions(32, 32, 8, 8, epsilon=1e-3, max_depth=6)
+    a = np.asarray(jax.jit(
+        lambda r: trace_megakernel_diff(scene, r, opts, 7)[0]
+    )(rays))
+    b = np.asarray(jax.jit(
+        lambda r: trace_megakernel_sorted(scene, r, opts, 7, sort=False)[0]
+    )(rays))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_diff_megakernel_replay_bit_exact(box_rays):
+    """The reference replay reconstructs the kernel's radiance sums
+    bit-for-bit from the records; the fast (matmul-shaped) replay agrees
+    to f32 reassociation."""
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.integrator.diff_megakernel import (
+        DIFF_FIELDS,
+        em_material_ids,
+        preprocess_records,
+        replay_fast,
+        replay_spectrum,
+        trace_megakernel_diff,
+    )
+
+    scene, rays = box_rays
+    opts = RenderOptions(32, 32, 8, 8, epsilon=1e-3, max_depth=8)
+    spec, _, recs = jax.jit(
+        lambda r: trace_megakernel_diff(scene, r, opts, 11)
+    )(rays)
+    mats = {f: getattr(scene, f) for f in DIFF_FIELDS}
+    em_mid = em_material_ids(scene)
+    ls = scene.light_spectrum[:, :3]
+    em_k = int(scene.emissive_sample_count)
+    ref = np.asarray(replay_spectrum(mats, recs, em_mid, ls, 0, em_k))
+    np.testing.assert_array_equal(ref, np.asarray(spec)[:, :3])
+    pre = preprocess_records(recs, em_mid, ls, int(scene.num_materials),
+                             0, em_k)
+    fast = np.asarray(replay_fast(mats, pre))
+    np.testing.assert_allclose(fast, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_diff_megakernel_fd_gradients_64(box_rays):
+    """FD-vs-analytic gradients at 64x64 through the TPU diff path
+    (render_chunk differentiable=True dispatches to the record-and-replay
+    megakernel on hardware). max_depth 4 = the exact-roulette regime."""
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.diff.render import (
+        apply_material_params,
+        finite_difference_grad,
+        get_material_params,
+        loss_and_grad,
+        render_image_diff,
+    )
+    from cpupathtrace_tpu.models.scenes import bench_camera
+
+    scene, _ = box_rays
+    camera = bench_camera()
+    opts = RenderOptions(64, 64, 8, 8, epsilon=1e-3, max_depth=4)
+    params = get_material_params(scene)
+    key = jax.random.PRNGKey(3)
+    target = jax.lax.stop_gradient(render_image_diff(
+        apply_material_params(
+            scene, {k: v * 0.9 for k, v in params.items()}
+        ),
+        camera, opts, jax.random.PRNGKey(9), 8,
+    ))
+    _, g = loss_and_grad(params, scene, camera, opts, target, key, 8)
+    checked = 0
+    for field, idx in (
+        ("mat_diffuse", (1, 2)),
+        ("mat_emission", (1, 1)),
+        ("mat_specular", (0, 0)),
+    ):
+        fd = finite_difference_grad(
+            params, scene, camera, opts, target, key, 8, field, idx,
+            eps=2e-3,
+        )
+        an = float(g[field][idx])
+        assert abs(an - fd) <= max(0.05 * abs(fd), 3e-4), (field, idx, an, fd)
+        checked += 1
+    assert checked == 3
