@@ -62,6 +62,9 @@ VARIANTS = {
     "morton3": {(sw, "_MORTON_BITS"): 3},
     "morton5": {(sw, "_MORTON_BITS"): 5},
     "morton6": {(sw, "_MORTON_BITS"): 6},
+    "shadowrev": {(kt, "_SHADOW_REVERSE"): True},
+    "blockrows4": {"env_PTX_KRN_BLOCK_ROWS": "4"},
+    "blockrows2": {"env_PTX_KRN_BLOCK_ROWS": "2"},
 }
 
 

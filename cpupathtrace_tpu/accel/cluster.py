@@ -19,7 +19,60 @@ import dataclasses
 
 import numpy as np
 
+import os
+
 from .build import NATIVE_THRESHOLD, FlatBVH, build_bvh
+
+# SAH cluster sweep: 1 = dominant centroid axis (default), 3 = all axes.
+# PTX_KRN_* knobs key the scene cache (scene/cache.py), so flipping this
+# never serves stale packed tables.
+_SAH_AXES = int(os.environ.get("PTX_KRN_SAH_AXES", "1"))
+
+# Greedy merge of adjacent underfull cut leaves (see _merge_cut_runs).
+_MERGE_CUT = os.environ.get("PTX_KRN_MERGE", "0") == "1"
+
+
+def _merge_cut_runs(starts, lens, c_lo, c_hi, cluster_size):
+    """Greedily merge CONSECUTIVE cut leaves while the merged run still
+    fits `cluster_size` AND the union box's surface area does not exceed
+    the parts' sum. The traversal pair-tests a fixed `cluster_size` rows
+    per record visit regardless of fill, and a cluster is visited with
+    probability ~ its box surface area — so a merge satisfying
+    SA(union) <= SA(a) + SA(b) strictly reduces expected pair work.
+    Inputs are the DFS-ordered cut (runs are contiguous in the leaf
+    order, so merged runs stay contiguous)."""
+
+    def sa(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return d[0] * d[1] + d[0] * d[2] + d[1] * d[2]
+
+    out_s, out_l, out_lo, out_hi = [], [], [], []
+    cs, cl = int(starts[0]), int(lens[0])
+    clo, chi = c_lo[0].copy(), c_hi[0].copy()
+    for i in range(1, starts.shape[0]):
+        li = int(lens[i])
+        if cl + li <= cluster_size:
+            u_lo = np.minimum(clo, c_lo[i])
+            u_hi = np.maximum(chi, c_hi[i])
+            if sa(u_lo, u_hi) <= sa(clo, chi) + sa(c_lo[i], c_hi[i]):
+                cl += li
+                clo, chi = u_lo, u_hi
+                continue
+        out_s.append(cs)
+        out_l.append(cl)
+        out_lo.append(clo)
+        out_hi.append(chi)
+        cs, cl = int(starts[i]), li
+        clo, chi = c_lo[i].copy(), c_hi[i].copy()
+    out_s.append(cs)
+    out_l.append(cl)
+    out_lo.append(clo)
+    out_hi.append(chi)
+    return (
+        np.asarray(out_s, np.int64), np.asarray(out_l, np.int64),
+        np.stack(out_lo).astype(np.float32),
+        np.stack(out_hi).astype(np.float32),
+    )
 
 
 @dataclasses.dataclass
@@ -81,7 +134,13 @@ def build_cluster_bvh(
             ]
             starts = begin[cut_nodes].astype(np.int64)
             lens = size[cut_nodes].astype(np.int64)
-            c = cut_nodes.shape[0]
+            c_lo = lo[cut_nodes].astype(np.float32)
+            c_hi = hi[cut_nodes].astype(np.float32)
+            if _MERGE_CUT and starts.shape[0] > 1:
+                starts, lens, c_lo, c_hi = _merge_cut_runs(
+                    starts, lens, c_lo, c_hi, cluster_size
+                )
+            c = starts.shape[0]
             members = np.full((c, cluster_size), -1, np.int32)
             cols = np.arange(cluster_size, dtype=np.int64)
             in_run = cols[None, :] < lens[:, None]
@@ -89,8 +148,6 @@ def build_cluster_bvh(
                 cols[None, :], lens[:, None] - 1
             )
             members[in_run] = dfs[gather[in_run]]
-            c_lo = lo[cut_nodes].astype(np.float32)
-            c_hi = hi[cut_nodes].astype(np.float32)
             top = build_bvh(c_lo, c_hi, use_native=use_native)
             return ClusterBVH(
                 lo=top.lo, hi=top.hi, left=top.left, right=top.right,
@@ -153,15 +210,19 @@ def build_cluster_bvh(
     ordered_prims[leaf_start[leaf_nodes]] = base.prim[leaf_nodes]
     starts = leaf_start[cut_nodes]
     lens = size[cut_nodes]
+    c_lo = base.lo[cut_nodes].astype(np.float32)
+    c_hi = base.hi[cut_nodes].astype(np.float32)
+    if _MERGE_CUT and starts.shape[0] > 1:
+        starts, lens, c_lo, c_hi = _merge_cut_runs(
+            starts, lens, c_lo, c_hi, cluster_size
+        )
 
-    c = cut_nodes.shape[0]
+    c = starts.shape[0]
     members = np.full((c, cluster_size), -1, np.int32)
     cols = np.arange(cluster_size, dtype=np.int64)
     in_run = cols[None, :] < lens[:, None]
     gather = starts[:, None] + np.minimum(cols[None, :], lens[:, None] - 1)
     members[in_run] = ordered_prims[gather[in_run]]
-    c_lo = base.lo[cut_nodes].astype(np.float32)
-    c_hi = base.hi[cut_nodes].astype(np.float32)
 
     top = build_bvh(c_lo, c_hi, use_native=use_native)
     return ClusterBVH(
@@ -242,44 +303,75 @@ def build_sah_clusters(
         seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         csel = cent[sel]
 
-        # Dominant centroid axis per node.
         cmin = np.minimum.reduceat(csel, seg_starts, axis=0)
         cmax = np.maximum.reduceat(csel, seg_starts, axis=0)
         ext = cmax - cmin
-        axis = np.argmax(ext, axis=1)
-        span = ext[np.arange(a), axis]
-        degenerate = span <= 0.0
+        degenerate = ext.max(axis=1) <= 0.0
 
-        cax = csel[np.arange(sel.size), axis[slot_node]]
-        lo_ax = cmin[np.arange(a), axis][slot_node]
-        sp_ax = np.maximum(span, 1e-30)[slot_node]
-        b = np.minimum(
-            ((cax - lo_ax) / sp_ax * n_bins).astype(np.int64), n_bins - 1
-        )
+        # Candidate axes: the dominant centroid axis (default), or a full
+        # 3-axis SAH sweep picking the (axis, bin) of least cost
+        # (PTX_KRN_SAH_AXES=3 — ~3x this phase's build time for tighter
+        # cluster boxes; record-visit count tracks box quality directly).
+        dom = np.argmax(ext, axis=1)
+        if _SAH_AXES >= 3:
+            cand_axes = range(3)
+        else:
+            cand_axes = None
 
-        # Per-(node, bin) counts and bounds.
-        key = slot_node * n_bins + b
-        bc = np.bincount(key, minlength=a * n_bins).reshape(a, n_bins)
-        blo = np.full((a * n_bins, 3), np.inf, f32)
-        bhi = np.full((a * n_bins, 3), -np.inf, f32)
-        np.minimum.at(blo, key, prim_lo[sel])
-        np.maximum.at(bhi, key, prim_hi[sel])
-        blo = blo.reshape(a, n_bins, 3)
-        bhi = bhi.reshape(a, n_bins, 3)
+        def eval_axis(ax_per_node):
+            """Bin ids, per-bin aggregates, and best SAH split for a
+            per-node axis choice [a]. Returns (b, kbest, costbest)."""
+            span = ext[np.arange(a), ax_per_node]
+            cax = csel[np.arange(sel.size), ax_per_node[slot_node]]
+            lo_ax = cmin[np.arange(a), ax_per_node][slot_node]
+            sp_ax = np.maximum(span, 1e-30)[slot_node]
+            b = np.minimum(
+                ((cax - lo_ax) / sp_ax * n_bins).astype(np.int64),
+                n_bins - 1,
+            )
+            key = slot_node * n_bins + b
+            bc = np.bincount(key, minlength=a * n_bins).reshape(a, n_bins)
+            blo = np.full((a * n_bins, 3), np.inf, f32)
+            bhi = np.full((a * n_bins, 3), -np.inf, f32)
+            np.minimum.at(blo, key, prim_lo[sel])
+            np.maximum.at(bhi, key, prim_hi[sel])
+            blo = blo.reshape(a, n_bins, 3)
+            bhi = bhi.reshape(a, n_bins, 3)
+            # Prefix/suffix sweeps -> SAH cost of splitting after bin k.
+            plo = np.minimum.accumulate(blo, axis=1)
+            phi = np.maximum.accumulate(bhi, axis=1)
+            pn = np.cumsum(bc, axis=1)
+            slo = np.minimum.accumulate(blo[:, ::-1], axis=1)[:, ::-1]
+            shi = np.maximum.accumulate(bhi[:, ::-1], axis=1)[:, ::-1]
+            sn = np.cumsum(bc[:, ::-1], axis=1)[:, ::-1]
+            nl = pn[:, :-1]
+            nr = sn[:, 1:]
+            cost = nl * _sa(plo[:, :-1], phi[:, :-1]) + nr * _sa(
+                slo[:, 1:], shi[:, 1:]
+            )
+            cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+            kbest = np.argmin(cost, axis=1)
+            cbest = cost[np.arange(a), kbest]
+            # A zero-extent axis cannot split by centroid.
+            cbest = np.where(span <= 0.0, np.inf, cbest)
+            return b, kbest, cbest
 
-        # Prefix/suffix sweeps -> SAH cost of splitting after bin k.
-        plo = np.minimum.accumulate(blo, axis=1)
-        phi = np.maximum.accumulate(bhi, axis=1)
-        pn = np.cumsum(bc, axis=1)
-        slo = np.minimum.accumulate(blo[:, ::-1], axis=1)[:, ::-1]
-        shi = np.maximum.accumulate(bhi[:, ::-1], axis=1)[:, ::-1]
-        sn = np.cumsum(bc[:, ::-1], axis=1)[:, ::-1]
-        nl = pn[:, :-1]
-        nr = sn[:, 1:]
-        cost = nl * _sa(plo[:, :-1], phi[:, :-1]) + nr * _sa(slo[:, 1:], shi[:, 1:])
-        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
-        kbest = np.argmin(cost, axis=1)
-        no_split = ~np.isfinite(cost[np.arange(a), kbest]) | degenerate
+        if cand_axes is None:
+            b, kbest, cbest = eval_axis(dom)
+        else:
+            b = kbest = cbest = None
+            for ax in cand_axes:
+                ax_v = np.full(a, ax, np.int64)
+                b_ax, k_ax, c_ax = eval_axis(ax_v)
+                if cbest is None:
+                    b, kbest, cbest = b_ax, k_ax, c_ax
+                else:
+                    upd = c_ax < cbest
+                    cbest = np.where(upd, c_ax, cbest)
+                    kbest = np.where(upd, k_ax, kbest)
+                    b = np.where(upd[slot_node], b_ax, b)
+
+        no_split = ~np.isfinite(cbest) | degenerate
 
         # Side per slot: SAH bin split, or median-of-range fallback when the
         # node cannot be split by centroid (all centroids coincide).

@@ -698,6 +698,12 @@ def _pack_masks(flag_col, weights_col, idx_iota, n, n_masks):
 # Clamped to 8: the MASK_SLOTS scratch layout budgets for at most 8 buckets
 # (see the arithmetic above MASK_SLOTS), and >4 measured worse anyway.
 _N_BUCKETS = min(8, max(1, int(os.environ.get("PTX_KRN_BUCKETS", "4"))))  # 1 = off
+# Shadow (any-hit) scans walk entry-ordered buckets BACK-to-front when
+# set — the "emitter-apex" ordering (occluders near the light first)
+# instead of the default near-the-origin-first. A/B knob; measured on the
+# 7.2M bench the default front-to-back wins (the dragon occludes its own
+# shadow rays near the ORIGIN), see docs/DESIGN_large_scenes.md.
+_SHADOW_REVERSE = os.environ.get("PTX_SHADOW_REVERSE", "0") == "1"
 
 # Record-DMA ring depth: Q-1 fetches in flight while the oldest pending
 # record is pair-tested (~2 us each), hiding HBM latency across descend
@@ -745,7 +751,8 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
                     scr_es, scr_ec, scr_m, scr_ef, sem_c, sem2,
                     ox, oy, oz, dx, dy, dz, ix, iy, iz,
                     bound_fn, process_fn, carry0, n_super, run_gate,
-                    visit_ref, visit_base, clb_resident=False):
+                    visit_ref, visit_base, clb_resident=False,
+                    reverse_buckets=False):
     """Three-tier cluster scan: vectorized enter flags, SCALAR bitmask
     stepping, and DOUBLE-BUFFERED record DMA.
 
@@ -866,6 +873,8 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
             bidx = jnp.floor(jnp.clip(
                 (emin - m0) / span * n_buckets, 0.0, n_buckets - 1.0
             ))
+            if reverse_buckets:
+                bidx = (n_buckets - 1.0) - bidx
         # All packed masks land in SMEM so ONE flattened loop nest (a
         # single textual copy of descend/sched) walks them in order.
         for b in range(n_buckets):
@@ -949,6 +958,8 @@ def _scan_pipelined(sup_pg, hyp_v, clb_hbm, rec_hbm, scr_c, scr2, scr_eh,
                 bidx_s = jnp.floor(jnp.clip(
                     (emin_s - s0) / span_s * n_sb, 0.0, n_sb - 1.0
                 ))
+                if reverse_buckets:
+                    bidx_s = (n_sb - 1.0) - bidx_s
                 for b in range(n_sb):
                     fb = jnp.where(bidx_s == b, flag_s, 0.0)
                     scr_m[sup_slot + b] = _pack_masks(
@@ -1135,7 +1146,7 @@ def traverse_clusters_anyhit(
         scr_ec, scr_m, scr_ef, sem_c, sem2,
         ox, oy, oz, dx, dy, dz, ix, iy, iz,
         bound_fn, process, occluded_f, n_super, run_gate, visit_ref, 2,
-        clb_resident=clb_resident,
+        clb_resident=clb_resident, reverse_buckets=_SHADOW_REVERSE,
     )
     return occ_f > 0.5
 

@@ -150,13 +150,32 @@ def cached_build(
 ) -> tuple[SceneData, bool]:
     """Return (scene, was_cache_hit). On a miss, runs `build_fn`, saves
     the result under `cache_dir/<key>.ptxs`, and returns it. A corrupt
-    or stale-format file is treated as a miss and overwritten."""
+    or stale-format file is treated as a miss and overwritten.
+
+    The miss-path build runs pinned to the CPU backend so `save_scene`
+    reads host memory directly — building straight onto an accelerator
+    would round-trip the multi-GB tables device->host just to write the
+    cache file (measured: the 4.9 GB full-dragon tables cost minutes over
+    the dev tunnel). The built scene is then device_put once."""
+    import jax
+
     path = Path(cache_dir) / f"{key}.ptxs"
     if path.exists():
         try:
             return load_scene(path), True
         except Exception:  # corrupt/stale -> rebuild
             pass
-    scene = build_fn()
-    save_scene(scene, path)
+    default = jax.devices()[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and default.platform != "cpu":
+        with jax.default_device(cpu):
+            scene = build_fn()
+        save_scene(scene, path)
+        scene = jax.device_put(scene, default)
+    else:
+        scene = build_fn()
+        save_scene(scene, path)
     return scene, False
