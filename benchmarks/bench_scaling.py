@@ -185,8 +185,8 @@ def main():
             "virtual mesh: T(unsharded dp=1)/T(sharded dp=N) on identical "
             "total work, which divides out host-core contention (absent on "
             "real chips) and leaves only shard_map/psum/padding overhead. "
-            ">= 1.0 everywhere measured = the sharding machinery costs "
-            "nothing."
+            "~1.0 at dp=1 and > 1.0 beyond = the sharding machinery "
+            "costs nothing measurable."
         ),
         "raw_note": (
             "weak_per_device_mrays and weak_efficiency_vs_dp1 are raw "

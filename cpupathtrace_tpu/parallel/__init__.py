@@ -4,6 +4,7 @@ from .geometry import (
     render_gp,
     shard_scene_geometry,
 )
+from .failover import ping_mesh, render_resumable_elastic
 from .mesh import make_render_mesh
 from .render import (
     adaptive_sample_axis,

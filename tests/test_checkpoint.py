@@ -123,3 +123,46 @@ def test_sharded_resume_rejects_bad_chunk_divisibility(cpu_devices):
         render_resumable(
             scene, cam, opts, spp=9, seed=0, spp_chunk=3, mesh=mesh
         )
+
+
+def test_elastic_failover_resumes_on_smaller_mesh(tmp_path, cpu_devices):
+    """Failure detection + elastic recovery (SURVEY §5): a render whose
+    chunk fails mid-way on the big mesh falls back to a smaller mesh and
+    RESUMES from the checkpoint — completed chunks are never re-rendered
+    and the film ends with exactly `spp` samples everywhere."""
+    import jax
+
+    from cpupathtrace_tpu.parallel import (
+        make_render_mesh,
+        ping_mesh,
+        render_resumable_elastic,
+    )
+
+    scene, cam, opts = _setup()
+    mesh8 = make_render_mesh()
+    mesh1 = make_render_mesh(jax.devices()[:1])
+    ok, dt = ping_mesh(mesh8)
+    assert ok, f"healthy mesh failed ping ({dt:.1f}s)"
+
+    ck = str(tmp_path / "elastic.ckpt")
+    calls = {"n": 0}
+    failovers = []
+
+    def flaky_progress(done, total):
+        # Simulate losing a device after the second chunk completes on
+        # the first mesh (the checkpoint for chunks 1-2 is on disk).
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated device loss")
+
+    state = render_resumable_elastic(
+        scene, cam, opts, spp=16, checkpoint_path=ck,
+        meshes=[mesh8, mesh1], seed=4, spp_chunk=4,
+        progress_callback=flaky_progress,
+        on_failover=lambda mi, e: failovers.append((mi, str(e))),
+    )
+    assert failovers and failovers[0][0] == 0
+    assert state.chunks_done == 4
+    assert (state.sample_count == 16).all()
+    img = state.image()
+    assert np.isfinite(img).all() and img[..., :3].mean() > 0.01
