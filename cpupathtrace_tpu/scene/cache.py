@@ -98,7 +98,16 @@ def save_scene(scene: SceneData, path: str | os.PathLike) -> None:
 
 def load_scene(path: str | os.PathLike) -> SceneData:
     """Reload a scene saved by `save_scene`; arrays land on the default
-    device. Raises ValueError on a format-version/magic mismatch."""
+    device. Raises ValueError on a format-version/magic mismatch.
+
+    The disk read runs on a prefetch thread one array ahead of the
+    device upload, so the two roughly overlap — serializing them costs
+    ~sum instead of ~max (measured ~90 s vs ~55 s for the 4.9 GB
+    full-dragon tables: cold-cache disk and the dev tunnel are
+    comparable-speed streams)."""
+    import queue
+    import threading
+
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -111,14 +120,66 @@ def load_scene(path: str | os.PathLike) -> SceneData:
                 f"{path}: stale scene-cache format "
                 f"(want {_FORMAT_VERSION}); rebuild"
             )
+
+        # Chunk granularity: the record table is ~75% of the file in ONE
+        # array, so overlap must happen WITHIN arrays — the reader emits
+        # <=256 MB leading-axis slices and the consumer uploads each while
+        # the next is being read, reassembling multi-chunk arrays with a
+        # device-side concatenate.
+        chunk_bytes = 256 << 20
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def reader():
+            try:
+                for e in header["arrays"]:
+                    shape = tuple(e["shape"])
+                    dt = np.dtype(e["dtype"])
+                    row_bytes = int(
+                        np.prod(shape[1:], dtype=np.int64)
+                    ) * dt.itemsize if shape else dt.itemsize
+                    n_rows = shape[0] if shape else 1
+                    rows_per = max(
+                        1, min(n_rows, chunk_bytes // max(row_bytes, 1))
+                    )
+                    n_parts = max(1, -(-n_rows // rows_per))
+                    off = e["offset"]
+                    for pi in range(n_parts):
+                        r0 = pi * rows_per
+                        r1 = min(n_rows, r0 + rows_per)
+                        part = np.empty((r1 - r0,) + shape[1:], dtype=dt)
+                        f.seek(off + r0 * row_bytes)
+                        n = f.readinto(memoryview(part).cast("B"))
+                        if n != part.nbytes:
+                            raise ValueError(
+                                f"{path}: truncated ({e['name']})"
+                            )
+                        q.put((e["name"], pi, n_parts, shape, part))
+                q.put(None)
+            except Exception as exc:  # surfaced on the consumer side
+                q.put(exc)
+
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
         kwargs = {}
-        for e in header["arrays"]:
-            a = np.empty(e["shape"], dtype=np.dtype(e["dtype"]))
-            f.seek(e["offset"])
-            n = f.readinto(memoryview(a).cast("B"))
-            if n != a.nbytes:
-                raise ValueError(f"{path}: truncated ({e['name']})")
-            kwargs[e["name"]] = jnp.asarray(a)
+        parts: list = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            name, pi, n_parts, shape, part = item
+            d = jnp.asarray(part) if shape else jnp.asarray(
+                part.reshape(())
+            )
+            if n_parts == 1:
+                kwargs[name] = d if shape else d.reshape(shape)
+            else:
+                parts.append(d)
+                if pi == n_parts - 1:
+                    kwargs[name] = jnp.concatenate(parts, axis=0)
+                    parts = []
+        th.join()
     kwargs.update(meta)
     return SceneData(**kwargs)
 
