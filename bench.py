@@ -406,6 +406,36 @@ def run_verify():
     s_m = np.asarray(f_m(rays, jnp.int32(1234)))
     s_s = np.asarray(f_s(rays, jnp.int32(1234)))
     ok &= bool((s_s[:, 3] == s_m[:, 3]).all())
+
+    # --- Differentiable path: the record-emitting forward must be
+    # BIT-identical to the unsorted single-bounce driver, and the
+    # reference replay must reconstruct the kernel's radiance sums
+    # bit-for-bit from the records (the gradient metric's correctness
+    # rests on exactly these two equalities).
+    from cpupathtrace_tpu.integrator.diff_megakernel import (
+        DIFF_FIELDS,
+        em_material_ids,
+        replay_spectrum,
+        trace_megakernel_diff,
+    )
+
+    spec_d, _, recs = jax.jit(
+        lambda r: trace_megakernel_diff(box, r, opts, 1234)
+    )(rays)
+    spec_u = jax.jit(
+        lambda r: trace_megakernel_sorted(box, r, opts, 1234, sort=False)[0]
+    )(rays)
+    same_fwd = bool(np.array_equal(np.asarray(spec_d), np.asarray(spec_u)))
+    mats = {fld: getattr(box, fld) for fld in DIFF_FIELDS}
+    rep = np.asarray(replay_spectrum(
+        mats, recs, em_material_ids(box), box.light_spectrum[:, :3],
+        int(box.n_point_lights), int(box.emissive_sample_count),
+    ))
+    same_rep = bool(np.array_equal(rep, np.asarray(spec_d)[:, :3]))
+    log(f"# verify diff-megakernel on-chip: forward bitwise "
+        f"{'==' if same_fwd else '!='} driver, replay bitwise "
+        f"{'==' if same_rep else '!='} kernel")
+    ok &= same_fwd and same_rep
     return bool(ok)
 
 
