@@ -84,3 +84,41 @@ def test_checkpoint_cli_roundtrip(tmp_path):
     save_checkpoint(p, st)
     back = load_checkpoint(p)
     assert back.chunks_done == 1 and back.seed == 3 and back.spp == 4
+
+
+def test_roofline_binned_model():
+    """The roofline accounting model (utils/roofline.py): byte/flop
+    arithmetic and the bound classification."""
+    from cpupathtrace_tpu.utils.roofline import (
+        V5E_HBM_BYTES_S,
+        V5E_VPU_FLOPS_S,
+        binned_frame_roofline,
+        dense_frame_roofline,
+    )
+
+    r = binned_frame_roofline(
+        frame_s=1.0,
+        n_rays=1 << 20,
+        visits_totals=(100, 1000, 50, 500),
+        executed_bounces=6,
+        record_bytes=64 << 10,
+        record_tris=128,
+        block_rows=8,
+    )
+    assert r["record_visits"] == 1500
+    assert r["supercluster_visits"] == 150
+    # 1500 visits x 64 KiB of record DMA (fields are rounded to 2dp).
+    assert abs(r["hbm_gb_records"] - 1500 * (64 << 10) / 1e9) < 0.01
+    # 1500 visits x 128 tris x 8 rows x 128 lanes x 64 flops.
+    expect_tflop = 1500 * 128 * 8 * 128 * 64 / 1e12
+    assert abs(r["vpu_tflop"] - expect_tflop) < 1e-3
+    assert 0 < r["hbm_frac"] < 1 and 0 < r["vpu_frac"] < 1
+    assert r["bound"] in ("hbm", "vpu")
+
+    d = dense_frame_roofline(
+        frame_s=0.1, n_rays=1 << 20, n_prims=18, executed_bounces=8
+    )
+    assert d["bound"] == "vpu"  # dense scenes stream almost nothing
+    assert d["hbm_frac"] < d["vpu_frac"]
+    # Fractions are fractions of the documented peaks.
+    assert V5E_HBM_BYTES_S > 1e11 and V5E_VPU_FLOPS_S > 1e12
