@@ -223,6 +223,11 @@ def render_sharded_adaptive(
     renderers swapped for `render_chunk_sharded`/`render_chunk_batched_sharded`
     over `mesh`. The per-tile progress callback matches the reference's
     tiles-done contract (ref: include/PathTrace/worker.h:74-79).
+
+    Known perf note: the sharded chunks launch sample-major (no Morton
+    pixel ordering), so binned large-mesh scenes give up the ~10%
+    pixel-major launch win the single-device `render()` gets from
+    `use_pixel_order` — correctness is unaffected.
     """
     from ..integrator.film import adaptive_constants, render_tile
 

@@ -226,3 +226,80 @@ def test_permute_packed_bit_exact_and_matches_fused():
                 av.view(np.uint32), bv.view(np.uint32),
                 err_msg=f"{permute.__name__} {dt}",
             )
+
+
+@pytest.mark.slow
+def test_diff_megakernel_record_replay(monkeypatch):
+    """The differentiable record-and-replay path in interpret mode:
+      * the record-emitting forward is BIT-identical to the unsorted
+        single-bounce driver,
+      * the reference replay reconstructs the kernel's radiance sums
+        bit-for-bit and the fast replay agrees to f32 reassociation,
+      * gradients flow and match a finite difference through the full
+        custom_vjp (common random numbers, exact-roulette depth)."""
+    import dataclasses
+
+    from cpupathtrace_tpu.camera.camera import shoot_rays
+    from cpupathtrace_tpu.integrator.diff_megakernel import (
+        DIFF_FIELDS,
+        em_material_ids,
+        preprocess_records,
+        replay_fast,
+        replay_spectrum,
+        trace_diff,
+        trace_megakernel_diff,
+    )
+    from cpupathtrace_tpu.integrator.film import pixel_camera_coords
+    from cpupathtrace_tpu.integrator.sorted_wavefront import (
+        trace_megakernel_sorted,
+    )
+    from cpupathtrace_tpu.models.scenes import bench_box_scene, bench_camera
+
+    scene = bench_box_scene()
+    cam = bench_camera()
+    w = h = 16
+    spp = 2
+    opts = RenderOptions(w, h, spp, spp, epsilon=1e-3, max_depth=4)
+    xg, yg = np.meshgrid(
+        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+    )
+    xc, yc = pixel_camera_coords(opts, xg.ravel(), yg.ravel())
+    rays = shoot_rays(
+        cam, jnp.tile(jnp.asarray(xc, jnp.float32), spp),
+        jnp.tile(jnp.asarray(yc, jnp.float32), spp),
+        1.0 / w, 1.0 / h, jax.random.PRNGKey(0),
+    )
+
+    spec, coll, recs = trace_megakernel_diff(scene, rays, opts, 7)
+    spec_u, _ = trace_megakernel_sorted(scene, rays, opts, 7, sort=False)
+    np.testing.assert_array_equal(np.asarray(spec), np.asarray(spec_u))
+
+    mats = {f: getattr(scene, f) for f in DIFF_FIELDS}
+    em_mid = em_material_ids(scene)
+    ls = scene.light_spectrum[:, :3]
+    em_k = int(scene.emissive_sample_count)
+    ref = np.asarray(replay_spectrum(mats, recs, em_mid, ls, 0, em_k))
+    np.testing.assert_array_equal(ref, np.asarray(spec)[:, :3])
+    pre = preprocess_records(recs, em_mid, ls, int(scene.num_materials),
+                             0, em_k)
+    np.testing.assert_allclose(
+        np.asarray(replay_fast(mats, pre)), ref, rtol=1e-3, atol=2e-3
+    )
+
+    # Gradient through the full custom_vjp vs central finite difference.
+    def loss(m):
+        s2 = dataclasses.replace(scene, **m)
+        sp, _ = trace_diff(s2, rays, opts, 7)
+        return jnp.mean(sp[:, :3])
+
+    g = jax.grad(loss)(mats)
+    eps = 2e-3
+    idx = ("mat_diffuse", (1, 1))
+    up = dict(mats)
+    up[idx[0]] = up[idx[0]].at[idx[1]].add(eps)
+    dn = dict(mats)
+    dn[idx[0]] = dn[idx[0]].at[idx[1]].add(-eps)
+    fd = (float(loss(up)) - float(loss(dn))) / (2 * eps)
+    an = float(g[idx[0]][idx[1]])
+    assert abs(an - fd) <= max(0.05 * abs(fd), 3e-4), (an, fd)
+    assert float(jnp.abs(g["mat_emission"]).sum()) > 0.0
