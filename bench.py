@@ -618,6 +618,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"# renderSceneBoxGrad FAILED: {type(e).__name__}: {e}")
 
+    # The box metric prints LAST: the driver records the final JSON line
+    # as the round's headline.
+    results.sort(
+        key=lambda r: r["metric"] == "renderSceneBox_throughput"
+    )
+
     for res in results:
         if verify_ok is not None:
             res["parity_verified"] = verify_ok
