@@ -29,6 +29,9 @@ from .geometry import HostTriangle, TriangleBatch
 
 _IDENTITY = np.eye(4, dtype=np.float64)
 
+#: OBJ text size above which load_mesh uses the native C++ parser.
+NATIVE_PARSE_MIN_BYTES = 1 << 20
+
 
 def _parse_float(tok: str) -> float:
     # Mirror the reference's tolerant char filter + stof (ref: mesh.cpp:96-121):
@@ -158,7 +161,9 @@ def load_mesh(
     parsed = None
     # Large inputs: the native C++ parser (native/ptx_native.cpp) with the
     # same tolerant v/f semantics, ~20x faster than Python line handling.
-    if len(text) > 1 << 20:
+    # (Module constant so the fuzz harness can force the native path and
+    # cross-check it against the Python parse on arbitrary inputs.)
+    if len(text) > NATIVE_PARSE_MIN_BYTES:
         from ..native import parse_obj_native
 
         native = parse_obj_native(text)

@@ -9,9 +9,14 @@ Also exercised by tests/test_fuzz.py with a fixed budget.
 from __future__ import annotations
 
 import io
+import os
 import sys
 
 import numpy as np
+
+# Running as `python fuzz/fuzz_targets.py` puts fuzz/ (not the repo root)
+# on sys.path; make the package importable without installation.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 INTERESTING_TOKENS = [
@@ -52,6 +57,36 @@ def fuzz_mesh_once(rng: np.random.Generator) -> None:
         assert np.isfinite(t.a).all() and np.isfinite(t.na).all()
 
 
+def fuzz_native_parser_once(rng: np.random.Generator) -> None:
+    """Native OBJ parser parity: the C++ tolerant parser
+    (native/ptx_native.cpp ptx_parse_obj) must produce the SAME triangles
+    as the Python line parser on arbitrary garbage — this both checks the
+    semantics and memory-safety-fuzzes the C code (an out-of-bounds write
+    crashes the process)."""
+    import cpupathtrace_tpu.scene.mesh as mesh_mod
+    from cpupathtrace_tpu.native import get_lib
+    from cpupathtrace_tpu.scene.mesh import load_mesh
+
+    if get_lib() is None:
+        return
+    cull = bool(rng.integers(0, 2))
+    smooth = bool(rng.integers(0, 2))
+    data = mutate_obj(rng).decode("utf-8", errors="replace")
+    orig = mesh_mod.NATIVE_PARSE_MIN_BYTES
+    try:
+        mesh_mod.NATIVE_PARSE_MIN_BYTES = 0  # force the native parser
+        t_native = load_mesh(io.StringIO(data), None, cull, smooth)
+    finally:
+        mesh_mod.NATIVE_PARSE_MIN_BYTES = orig
+    t_py = load_mesh(io.StringIO(data), None, cull, smooth)
+    assert len(t_native) == len(t_py), (len(t_native), len(t_py), data[:200])
+    for a, b in zip(t_native[:16], t_py[:16]):
+        assert np.array_equal(a.a, b.a) and np.array_equal(a.b, b.b)
+        assert np.array_equal(
+            np.nan_to_num(a.na, nan=-7.0), np.nan_to_num(b.na, nan=-7.0)
+        )
+
+
 def fuzz_png_once(rng: np.random.Generator) -> None:
     """PNG reader: random bytes and truncated/mutated valid PNGs must raise
     only controlled errors (ref: fuzz/target_image_io_read.cpp)."""
@@ -86,6 +121,7 @@ def run(iterations: int = 2000, seed: int = 0) -> None:
     rng = np.random.default_rng(seed)
     for i in range(iterations):
         fuzz_mesh_once(rng)
+        fuzz_native_parser_once(rng)
         fuzz_png_once(rng)
         if i and i % 500 == 0:
             print(f"{i} iterations ok", file=sys.stderr)
