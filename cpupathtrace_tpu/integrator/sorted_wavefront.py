@@ -99,11 +99,21 @@ _SORT_MIN_ALIVE = int(os.environ.get("PTX_SORT_MIN_ALIVE", str(1 << 16)))
 # Measured on the 200k dragon bench (v5e, round 4): fused 261.5 ms
 # frame / ~176 s compile; packed 288.7 ms / ~23 s compile; per-sort
 # amortized cost argsort 1.35 ms, packed 8.4 ms, wide 5.7 ms
-# (standalone). "packed" is the default: the ~9% frame cost on this
-# benchmark buys a 7x faster cold compile (the recorded-bench path);
-# PTX_SORT_GLUE=fused restores peak throughput where the one-time
-# compile amortizes (the persistent compilation cache keeps it warm).
-_SORT_GLUE = os.environ.get("PTX_SORT_GLUE", "packed")
+# (standalone). Round-5 pipelined re-measurement: fused 244 ms vs packed
+# 266 ms (+9% frame) — and the persistent compilation cache makes the
+# fused lowering a ONE-TIME cost, so the default is now "auto": fused
+# for bench-class scenes (n_super <= _FUSED_MAX_SUP, where the lowering
+# stays minutes at worst), packed at full scale (the fused sort's XLA
+# lowering grows with program size and the glue is a smaller frame
+# fraction there). PTX_SORT_GLUE=fused/packed/wide forces a mode.
+_SORT_GLUE = os.environ.get("PTX_SORT_GLUE", "auto")
+_FUSED_MAX_SUP = int(os.environ.get("PTX_SORT_FUSED_MAX_SUP", "1024"))
+
+
+def _resolve_glue(n_super: int) -> str:
+    if _SORT_GLUE == "auto":
+        return "fused" if n_super <= _FUSED_MAX_SUP else "packed"
+    return _SORT_GLUE
 
 
 def _permute_packed(key, arrays):
@@ -405,6 +415,7 @@ def trace_megakernel_sorted(
         debug_visits=debug_visits,
     )
     max_depth = int(options.max_depth)
+    glue = _resolve_glue(n_super)
     lo = scene.root_lo
     hi = scene.root_hi
     seed_i = jnp.asarray(seed, jnp.int32)
@@ -447,10 +458,10 @@ def trace_megakernel_sorted(
         # Permutation glue (see _SORT_GLUE): the fused multi-operand sort
         # or the argsort + packed-row-gather. Round 2's 19 PER-ARRAY
         # takes (116 ms/bounce) are the formulation both replace.
-        if _SORT_GLUE == "fused":
+        if glue == "fused":
             def do_sort(ops):
                 return jax.lax.sort(ops, num_keys=1, is_stable=False)
-        elif _SORT_GLUE == "packed":
+        elif glue == "packed":
             def do_sort(ops):
                 key_s, rest = _permute_packed(ops[0], ops[1:])
                 return (key_s,) + rest
@@ -481,13 +492,13 @@ def trace_megakernel_sorted(
     )
 
     # Un-permute by sorting on the original ray index.
-    if _SORT_GLUE == "fused":
+    if glue == "fused":
         idx, out_r, out_g, out_b, coll_f = jax.lax.sort(
             (idx, st[10], st[11], st[12], st[16]), num_keys=1,
             is_stable=False,
         )
     else:
-        unperm = _permute_wide if _SORT_GLUE == "wide" else _permute_packed
+        unperm = _permute_wide if glue == "wide" else _permute_packed
         _, (out_r, out_g, out_b, coll_f) = unperm(
             idx, (st[10], st[11], st[12], st[16])
         )
